@@ -1,0 +1,218 @@
+"""Whole-frame functional RAISR pipeline (one pass, and the pass loop).
+
+This is the TPU-native replacement for the reference's per-segment hot loop
+(processSegment, reference: Library/Raisr.cpp:890-1289): instead of a thread
+pool slicing the frame into halo-expanded row segments with spin-wait
+barriers, each pass is a pure function over the whole plane; XLA fuses the
+stages and the inter-pass barrier is dataflow.
+
+Full-frame zone semantics (derived from the reference's segment planning,
+RNLSetRes Raisr.cpp:1742-1779, and hot-loop bounds Raisr.cpp:1038-1066):
+  - RAISR-processed zone: rows [6, H-6), cols [6, col_end), where with
+    exact_edges col_end replicates the AVX-512 unrolled loop's ragged right
+    edge (8-aligned, first iteration needs 16 columns: Raisr.cpp:1066,1247).
+  - Randomness blending happens only on processed pixels (Raisr.cpp:1203-1242).
+  - CountOfBitsChanged blending zone: rows [1, H-1) x cols [1, W-1)
+    (CTmargin; Raisr.cpp:1758-1759, 719), with HR = cheap outside the
+    processed zone.
+  - Everything else: cheap-upscaled pixels pass through unrounded/unclamped
+    (border memcpys, Raisr.cpp:998-1028, 1252-1265).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from raisr_tpu.config import RaisrConfig, BlendingMode, CT_MARGIN
+from raisr_tpu.model.gaussian import gaussian_weights
+from raisr_tpu.model.loader import RaisrModel
+from raisr_tpu.ops import census, hashing
+from raisr_tpu.ops.filter_apply import apply_filters_taps, apply_filters_conv
+from raisr_tpu.ops.resize import cheap_upscale
+
+
+@dataclasses.dataclass(frozen=True)
+class PassStatics:
+    """Static (hashable) parameters of one RAISR pass."""
+
+    qangle: int
+    qstrength: int
+    qcoherence: int
+    patch_size: int
+    pixel_types: int
+    use_pixel_type: bool
+    ratio_int: int
+    bits: int
+    min_val: int
+    max_val: int
+    blending: int
+    exact_edges: bool
+    backend: str  # "taps" | "conv"
+
+    @property
+    def patch_margin(self) -> int:
+        return self.patch_size >> 1
+
+    @property
+    def loop_margin(self) -> int:
+        return (self.patch_size >> 1) + 1
+
+
+def processed_col_end(width: int, loop_margin: int, exact_edges: bool) -> int:
+    """Last processed column (exclusive) of the hot loop.
+
+    The reference's AVX-512 loop starts at 16-wide unroll and drops to 8 near
+    the edge (Raisr.cpp:1066-1250): columns [6, 6 + 8*floor((W-12)/8)) are
+    processed, and nothing at all if fewer than 16 columns fit."""
+    if not exact_edges:
+        return width - loop_margin
+    usable = width - 2 * loop_margin
+    if usable < 16:
+        return loop_margin
+    return loop_margin + 8 * (usable // 8)
+
+
+def _round_clamp(val: jnp.ndarray, min_val: int, max_val: int) -> jnp.ndarray:
+    """floor(val + 0.5) then clamp — the output packing of both blend paths
+    (Raisr.cpp:735-745, Raisr_AVX256.cpp:119-123)."""
+    return jnp.clip(jnp.floor(val + 0.5), float(min_val), float(max_val))
+
+
+def raisr_pass(
+    cheap: jnp.ndarray,
+    filters: jnp.ndarray,
+    qstr: jnp.ndarray,
+    qcoh: jnp.ndarray,
+    statics: PassStatics,
+) -> jnp.ndarray:
+    """One RAISR pass over an integer-valued float32 plane. Returns the
+    integer-valued output plane (float32)."""
+    h, w = cheap.shape
+    s = statics
+    lm = s.loop_margin
+
+    weights = gaussian_weights(s.patch_size, s.bits)
+
+    gx, gy = hashing.gradients(cheap)
+    a, b, d = hashing.structure_tensor(gx, gy, jnp.asarray(weights))
+    buckets = hashing.hash_buckets(
+        a, b, d, qstr, qcoh, s.qangle, s.qstrength, s.qcoherence
+    )
+    ptype = hashing.pixel_types(h, w, s.ratio_int, s.patch_margin, s.use_pixel_type)
+
+    if s.backend == "conv":
+        raw = apply_filters_conv(
+            cheap,
+            buckets,
+            filters,
+            s.patch_size,
+            s.pixel_types,
+            s.patch_margin,
+            s.ratio_int,
+        )
+    else:
+        filter_idx = buckets * s.pixel_types + ptype
+        raw = apply_filters_taps(cheap, filter_idx, filters, s.patch_size)
+
+    # Out-of-range reject keeps the cheap pixel (exclusive compare,
+    # Raisr.cpp:1196-1201); the rejected value also feeds the CT blend's HR
+    # input, because raisr32f starts as a copy of the cheap plane
+    # (Raisr.cpp:1029-1036).
+    keep = (raw > float(s.min_val)) & (raw < float(s.max_val))
+    raisr_px = jnp.where(keep, raw, cheap)
+
+    # Processed-zone mask.
+    col_end = processed_col_end(w, lm, s.exact_edges)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    proc = (
+        (row_ids >= lm)
+        & (row_ids < h - lm)
+        & (col_ids >= lm)
+        & (col_ids < col_end)
+    )
+
+    if s.blending == BlendingMode.RANDOMNESS:
+        blended = census.blend_randomness(cheap, raisr_px)
+        out = jnp.where(proc, _round_clamp(blended, s.min_val, s.max_val), cheap)
+    else:
+        hr_buf = jnp.where(proc, raisr_px, cheap)
+        blended = census.blend_count_of_bits_changed(cheap, hr_buf)
+        blend_zone = (
+            (row_ids >= CT_MARGIN)
+            & (row_ids < h - CT_MARGIN)
+            & (col_ids >= CT_MARGIN)
+            & (col_ids < w - CT_MARGIN)
+        )
+        out = jnp.where(
+            blend_zone, _round_clamp(blended, s.min_val, s.max_val), cheap
+        )
+    return out
+
+
+def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStatics:
+    return PassStatics(
+        qangle=model.qangle,
+        qstrength=model.qstrength,
+        qcoherence=model.qcoherence,
+        patch_size=model.patch_size,
+        pixel_types=model.banks[0].pixel_types,
+        use_pixel_type=cfg.use_pixel_type,
+        ratio_int=int(cfg.ratio),
+        bits=cfg.bits,
+        min_val=cfg.min_val,
+        max_val=cfg.max_val,
+        blending=int(cfg.blending),
+        exact_edges=cfg.exact_edges,
+        backend=backend,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("statics", "passes", "two_pass_mode", "out_h", "out_w")
+)
+def process_plane_y(
+    lr: jnp.ndarray,
+    bank_filters: tuple[jnp.ndarray, ...],
+    bank_qstr: tuple[jnp.ndarray, ...],
+    bank_qcoh: tuple[jnp.ndarray, ...],
+    statics: PassStatics,
+    passes: int,
+    two_pass_mode: int,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Full multi-pass luma pipeline (RNLProcess CPU path, Raisr.cpp:1294-1397).
+
+    two_pass_mode selects which pass performs the cheap upscale
+    ((passIdx+1) == gTwoPassMode, Raisr.cpp:945): mode 1 upscales before pass
+    1 (sharpening second pass at HR); mode 2 runs pass 1 at LR size (denoise)
+    and upscales before pass 2. The inter-pass intermediate is quantized to
+    the integer bit depth, exactly like gIntermediateY (Raisr.cpp:918-927).
+    """
+    x = lr.astype(jnp.float32)
+    for pass_idx in range(passes):
+        if pass_idx + 1 == two_pass_mode:
+            cheap = cheap_upscale(x, out_h, out_w, statics.bits)
+        else:
+            cheap = x
+        x = raisr_pass(
+            cheap,
+            bank_filters[pass_idx],
+            bank_qstr[pass_idx],
+            bank_qcoh[pass_idx],
+            statics,
+        )
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits"))
+def process_plane_uv(
+    lr: jnp.ndarray, out_h: int, out_w: int, bits: int
+) -> jnp.ndarray:
+    """Chroma planes only get the cheap upscale (Raisr.cpp:1373-1388)."""
+    return cheap_upscale(lr.astype(jnp.float32), out_h, out_w, bits)

@@ -1,0 +1,54 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require real TPU hardware; multi-chip sharding is validated on
+XLA's host-platform device emulation (the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def reference_filters():
+    """Path to the pretrained filter banks shipped with the reference."""
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference filter banks not available")
+    return REFERENCE_ROOT
+
+
+@pytest.fixture(scope="session")
+def filters_2x_highres(reference_filters):
+    return str(reference_filters / "filters_2x" / "filters_highres")
+
+
+@pytest.fixture(scope="session")
+def filters_2x_lowres(reference_filters):
+    return str(reference_filters / "filters_2x" / "filters_lowres")
+
+
+@pytest.fixture(scope="session")
+def filters_2x_denoise(reference_filters):
+    return str(reference_filters / "filters_2x" / "filters_denoise")
+
+
+@pytest.fixture(scope="session")
+def filters_15x_highres(reference_filters):
+    return str(reference_filters / "filters_1.5x" / "filters_highres")
+
+
+@pytest.fixture(scope="session")
+def filters_15x_denoise(reference_filters):
+    return str(reference_filters / "filters_1.5x" / "filters_denoise")
