@@ -1,0 +1,192 @@
+"""Command-line interface.
+
+Mirrors the `vf_raisr` FFmpeg filter's knob surface (reference:
+ffmpeg/vf_raisr.c:81-94: ratio, bits, range, filterfolder, blending, passes,
+mode, evenoutput) on a standalone upscaler:
+
+    raisr upscale -i in.y4m -o out.y4m --ratio 2 --passes 2 \
+        --filterfolder filters_2x/filters_highres
+    raisr upscale -i in.png -o out.png            # single image
+    raisr info --filterfolder filters_2x/filters_lowres
+    raisr bench --width 1920 --height 1080 --frames 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from raisr_tpu.config import RaisrConfig, BlendingMode, RangeType, Backend, RaisrError
+from raisr_tpu.engine import RaisrEngine, Frame
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--filterfolder", default="/root/reference/filters_2x/filters_lowres")
+    p.add_argument("--ratio", type=float, default=2.0)
+    p.add_argument("--bits", type=int, default=8, choices=[8, 10, 16])
+    p.add_argument("--range", dest="range_", default="video", choices=["video", "full"])
+    p.add_argument("--blending", type=int, default=2, choices=[1, 2],
+                   help="1: Randomness, 2: CountOfBitsChanged")
+    p.add_argument("--passes", type=int, default=1, choices=[1, 2])
+    p.add_argument("--mode", type=int, default=1, choices=[1, 2],
+                   help="two-pass mode (1: upscale 1st pass, 2: upscale 2nd pass)")
+    p.add_argument("--evenoutput", action="store_true")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "reference", "xla", "pallas"])
+
+
+def _cfg(args) -> RaisrConfig:
+    return RaisrConfig(
+        filterfolder=args.filterfolder,
+        ratio=args.ratio,
+        bits=args.bits,
+        range=RangeType.VIDEO if args.range_ == "video" else RangeType.FULL,
+        blending=BlendingMode(args.blending),
+        passes=args.passes,
+        mode=args.mode,
+        evenoutput=args.evenoutput,
+        backend=Backend(args.backend),
+    )
+
+
+def cmd_upscale(args) -> int:
+    from raisr_tpu import video
+
+    cfg = _cfg(args)
+    engine = RaisrEngine(cfg)
+
+    in_ext = os.path.splitext(args.input)[1].lower()
+    if in_ext in (".png", ".jpg", ".jpeg", ".bmp"):
+        frame = video.read_png_as_yuv(args.input, cfg.bits)
+        out = engine.process(frame)
+        video.write_yuv_as_png(out, args.output, cfg.bits)
+        print(f"wrote {args.output} ({out.y.shape[1]}x{out.y.shape[0]})")
+        return 0
+
+    fmt = None
+    if in_ext in (".yuv", ".raw"):
+        if not args.size:
+            raise RaisrError("raw YUV input requires --size WxH")
+        w, h = (int(x) for x in args.size.lower().split("x"))
+        fmt = video.VideoFormat(w, h, cfg.bits, args.format)
+    reader = video.open_reader(args.input, fmt)
+    in_fmt = reader.fmt
+    out_h, out_w = cfg.output_size(in_fmt.height, in_fmt.width)
+    writer = video.open_writer(args.output, in_fmt.scaled(out_h, out_w))
+
+    count = 0
+    start = time.perf_counter()
+    for frame in reader:
+        writer.write(engine.process(frame))
+        count += 1
+        if args.frames and count >= args.frames:
+            break
+    elapsed = time.perf_counter() - start
+    reader.close()
+    writer.close()
+    print(
+        f"processed {count} frames {in_fmt.width}x{in_fmt.height} -> "
+        f"{out_w}x{out_h} in {elapsed:.2f}s ({count / max(elapsed, 1e-9):.2f} fps)"
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    from raisr_tpu.model.loader import load_model
+
+    cfg = _cfg(args)
+    model = load_model(cfg.filterfolder, cfg)
+    info = {
+        "filterfolder": cfg.filterfolder,
+        "qangle": model.qangle,
+        "qstrength": model.qstrength,
+        "qcoherence": model.qcoherence,
+        "patch_size": model.patch_size,
+        "passes": len(model.banks),
+        "banks": [
+            {
+                "hashkey_size": b.hashkey_size,
+                "pixel_types": b.pixel_types,
+                "taps": b.taps,
+                "dtype": b.source_dtype,
+                "qstr": b.qstr.tolist(),
+                "qcoh": b.qcoh.tolist(),
+            }
+            for b in model.banks
+        ],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg(args)
+    engine = RaisrEngine(cfg)
+    rng = np.random.default_rng(0)
+    lr = jnp.asarray(
+        rng.integers(16, 235, size=(args.height, args.width)).astype(np.float32)
+    )
+    engine.upscale_y(lr).block_until_ready()  # compile
+    start = time.perf_counter()
+    out = None
+    for _ in range(args.frames):
+        out = engine.upscale_y(lr)
+    out.block_until_ready()
+    elapsed = time.perf_counter() - start
+    fps = args.frames / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"{args.width}x{args.height}->{cfg.output_size(args.height, args.width)[::-1]} "
+                f"passes={cfg.passes} Y fps",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="raisr", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_up = sub.add_parser("upscale", help="upscale a video or image")
+    p_up.add_argument("-i", "--input", required=True)
+    p_up.add_argument("-o", "--output", required=True)
+    p_up.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    p_up.add_argument("--size", default=None, help="WxH for raw .yuv input")
+    p_up.add_argument("--format", default="420", choices=["420", "422", "444", "mono"])
+    _add_common(p_up)
+    p_up.set_defaults(fn=cmd_upscale)
+
+    p_info = sub.add_parser("info", help="inspect a filter folder")
+    _add_common(p_info)
+    p_info.set_defaults(fn=cmd_info)
+
+    p_bench = sub.add_parser("bench", help="synthetic Y-plane throughput")
+    p_bench.add_argument("--width", type=int, default=1920)
+    p_bench.add_argument("--height", type=int, default=1080)
+    p_bench.add_argument("--frames", type=int, default=20)
+    _add_common(p_bench)
+    p_bench.set_defaults(fn=cmd_bench)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except RaisrError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

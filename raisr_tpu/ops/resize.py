@@ -40,12 +40,12 @@ def bilinear_upscale(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     c0, c1, cf = _axis_weights(in_w, out_w)
 
     img = img.astype(jnp.float32)
-    rows = jnp.take(img, r0, axis=0) * (1.0 - rf)[:, None] + jnp.take(
-        img, r1, axis=0
-    ) * rf[:, None]
-    out = jnp.take(rows, c0, axis=1) * (1.0 - cf)[None, :] + jnp.take(
-        rows, c1, axis=1
-    ) * cf[None, :]
+    # a + (b - a) * f: single-FMA form, keeps codegen (and exact .5 rounding
+    # ties) identical between this and the row-sharded stripe resize
+    a = jnp.take(img, r0, axis=0)
+    rows = a + (jnp.take(img, r1, axis=0) - a) * rf[:, None]
+    b = jnp.take(rows, c0, axis=1)
+    out = b + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
     return out
 
 

@@ -7,12 +7,19 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # hard override (the shell presets axon/tpu)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# jax may already be imported (the TPU image registers a PJRT plugin via
+# sitecustomize), in which case it cached JAX_PLATFORMS at import time;
+# config.update still works as long as no backend has been initialized.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

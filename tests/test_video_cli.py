@@ -1,0 +1,131 @@
+"""Video I/O + CLI end-to-end tests (mirrors the reference's e2e validation
+sweep style, test/validation_suite/run_tests_avxout.sh, against our CLI)."""
+
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from raisr_tpu import video
+from raisr_tpu.cli import main as cli_main
+from raisr_tpu.engine import Frame
+
+FOLDER = "/root/reference/filters_2x/filters_highres"
+
+
+def _write_y4m(path, n_frames=2, w=32, h=24, bits=8, subsampling="420"):
+    fmt = video.VideoFormat(w, h, bits, subsampling)
+    wr = video.Y4MWriter(str(path), fmt)
+    rng = np.random.default_rng(0)
+    dt = np.uint8 if bits == 8 else np.uint16
+    frames = []
+    for _ in range(n_frames):
+        y = rng.integers(16, 235, size=(h, w)).astype(dt)
+        if subsampling == "mono":
+            f = Frame(y=y)
+        else:
+            sv, sh = {"420": (2, 2), "422": (1, 2), "444": (1, 1)}[subsampling]
+            u = rng.integers(16, 240, size=(h // sv, w // sh)).astype(dt)
+            v = rng.integers(16, 240, size=(h // sv, w // sh)).astype(dt)
+            f = Frame(y=y, u=u, v=v)
+        wr.write(f)
+        frames.append(f)
+    wr.close()
+    return fmt, frames
+
+
+class TestY4M:
+    @pytest.mark.parametrize("subsampling", ["420", "422", "444", "mono"])
+    @pytest.mark.parametrize("bits", [8, 10])
+    def test_roundtrip(self, tmp_path, subsampling, bits):
+        if subsampling == "mono" and bits == 10:
+            pytest.skip("mono10 tag not defined")
+        path = tmp_path / "clip.y4m"
+        fmt, frames = _write_y4m(path, 2, 32, 24, bits, subsampling)
+        rd = video.Y4MReader(str(path))
+        assert rd.fmt.width == 32 and rd.fmt.height == 24
+        assert rd.fmt.bits == bits and rd.fmt.subsampling == subsampling
+        got = list(rd)
+        assert len(got) == 2
+        for a, b in zip(got, frames):
+            np.testing.assert_array_equal(a.y, b.y)
+            if b.u is not None:
+                np.testing.assert_array_equal(a.u, b.u)
+
+    def test_rejects_garbage(self, tmp_path):
+        p = tmp_path / "bad.y4m"
+        p.write_bytes(b"not a y4m stream\n")
+        with pytest.raises(Exception, match="Y4M"):
+            video.Y4MReader(str(p))
+
+
+class TestCLI:
+    def test_upscale_y4m(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        dst = tmp_path / "out.y4m"
+        _write_y4m(src, 2, 32, 24)
+        rc = cli_main(
+            ["upscale", "-i", str(src), "-o", str(dst), "--filterfolder", FOLDER]
+        )
+        assert rc == 0
+        rd = video.Y4MReader(str(dst))
+        assert (rd.fmt.width, rd.fmt.height) == (64, 48)
+        assert len(list(rd)) == 2
+
+    def test_upscale_raw_yuv(self, tmp_path):
+        src = tmp_path / "in.yuv"
+        dst = tmp_path / "out.yuv"
+        rng = np.random.default_rng(1)
+        h, w = 24, 32
+        data = rng.integers(0, 255, size=(h * w * 3 // 2,)).astype(np.uint8)
+        src.write_bytes(data.tobytes())
+        rc = cli_main(
+            ["upscale", "-i", str(src), "-o", str(dst), "--size", "32x24",
+             "--filterfolder", FOLDER]
+        )
+        assert rc == 0
+        assert dst.stat().st_size == (48 * 64 * 3 // 2)
+
+    def test_upscale_png(self, tmp_path):
+        pytest.importorskip("PIL")
+        from PIL import Image
+
+        src = tmp_path / "in.png"
+        dst = tmp_path / "out.png"
+        rng = np.random.default_rng(2)
+        Image.fromarray(rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)).save(src)
+        rc = cli_main(
+            ["upscale", "-i", str(src), "-o", str(dst), "--filterfolder", FOLDER,
+             "--range", "full"]
+        )
+        assert rc == 0
+        assert Image.open(dst).size == (64, 48)
+
+    def test_info(self, capsys):
+        rc = cli_main(["info", "--filterfolder", FOLDER, "--passes", "2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert '"qangle": 24' in out and '"passes": 2' in out
+
+    def test_bad_filterfolder_fails_like_reference(self, tmp_path, capsys):
+        rc = cli_main(
+            ["info", "--filterfolder", str(tmp_path / "nonexistent")]
+        )
+        assert rc == 1
+        assert "[RAISR ERROR]" in capsys.readouterr().err
+
+    def test_evenoutput_15x(self, tmp_path):
+        src = tmp_path / "in.y4m"
+        dst = tmp_path / "out.y4m"
+        _write_y4m(src, 1, 42, 30)  # 1.5x -> 63x45 odd; evenoutput clamps
+        rc = cli_main(
+            ["upscale", "-i", str(src), "-o", str(dst), "--ratio", "1.5",
+             "--evenoutput",
+             "--filterfolder", "/root/reference/filters_1.5x/filters_highres"]
+        )
+        assert rc == 0
+        rd = video.Y4MReader(str(dst))
+        assert (rd.fmt.width, rd.fmt.height) == (62, 44)
