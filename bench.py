@@ -24,10 +24,12 @@ def main():
     from raisr_tpu.model.loader import load_model
     from raisr_tpu.ops.pipeline import pass_statics, process_plane_y
 
+    from jax import lax
+
     folder = "/root/reference/filters_2x/filters_highres"
     cfg = RaisrConfig(filterfolder=folder, passes=2)
     model = load_model(folder, cfg)
-    backend = "conv" if jax.default_backend() != "cpu" else "taps"
+    backend = "taps" if jax.default_backend() == "cpu" else "pallas"
     statics = pass_statics(cfg, model, backend)
     filters = tuple(jnp.asarray(b.filters) for b in model.banks)
     qstr = tuple(jnp.asarray(b.qstr) for b in model.banks)
@@ -38,22 +40,27 @@ def main():
     rng = np.random.default_rng(0)
     frame = jnp.asarray(rng.integers(16, 235, size=(lr_h, lr_w)).astype(np.float32))
 
-    def step(y):
-        return process_plane_y(
-            y, filters, qstr, qcoh, statics, cfg.passes, cfg.two_pass_mode,
-            out_h, out_w,
-        )
+    n_iters = 10 if jax.default_backend() != "cpu" else 2
 
-    fn = jax.jit(step)
-    # warmup / compile
-    fn(frame).block_until_ready()
+    # The whole timing loop runs on-device (lax.scan chaining iterations) and
+    # is fenced by a host value fetch — remote-execution backends may treat
+    # block_until_ready as a no-op and cache identical dispatches.
+    @jax.jit
+    def timed(y0):
+        def body(carry, _):
+            out = process_plane_y(
+                y0 + carry, filters, qstr, qcoh, statics, cfg.passes,
+                cfg.two_pass_mode, out_h, out_w,
+            )
+            return out[0, 0] * 1e-30 + 1.0, None
+        c, _ = lax.scan(body, jnp.float32(0), None, length=n_iters)
+        return c
 
-    n_iters = 20 if jax.default_backend() != "cpu" else 2
+    float(timed(frame))  # compile + warm
+    fresh = frame + 1.0
+    float(jnp.sum(fresh))  # drain queue
     start = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = fn(frame)
-    out.block_until_ready()
+    float(timed(fresh))
     elapsed = time.perf_counter() - start
     fps = n_iters / elapsed
 

@@ -33,8 +33,8 @@ def _resolve_backend(cfg: RaisrConfig) -> str:
         return "conv"
     if cfg.backend == Backend.PALLAS:
         return "pallas"
-    # AUTO: dense-conv formulation on TPU (MXU), exact taps elsewhere.
-    return "conv" if jax.default_backend() == "tpu" else "taps"
+    # AUTO: fused Pallas kernel on TPU, exact taps formulation elsewhere.
+    return "taps" if jax.default_backend() == "cpu" else "pallas"
 
 
 @dataclasses.dataclass
@@ -55,10 +55,8 @@ class RaisrEngine:
         self.cfg = cfg
         self.model = model if model is not None else load_model(cfg.filterfolder, cfg)
         backend = _resolve_backend(cfg)
-        if backend == "pallas":
-            from raisr_tpu.ops.pallas import raisr_kernel  # noqa: F401 (availability check)
         self._backend = backend
-        self._statics = pass_statics(cfg, self.model, backend if backend != "pallas" else "conv")
+        self._statics = pass_statics(cfg, self.model, backend)
         self._np_out_dtype = np.uint8 if cfg.bits == 8 else np.uint16
 
         self._filters = tuple(jnp.asarray(b.filters) for b in self.model.banks)
@@ -71,20 +69,6 @@ class RaisrEngine:
         """Process one luma plane; accepts/returns integer-valued arrays."""
         h, w = y.shape
         out_h, out_w = self.cfg.output_size(h, w)
-        if self._backend == "pallas":
-            from raisr_tpu.ops.pallas.driver import process_plane_y_pallas
-
-            return process_plane_y_pallas(
-                y,
-                self._filters,
-                self._qstr,
-                self._qcoh,
-                self._statics,
-                self.cfg.passes,
-                self.cfg.two_pass_mode,
-                out_h,
-                out_w,
-            )
         return process_plane_y(
             y,
             self._filters,

@@ -62,11 +62,48 @@ def _conv_all_buckets(
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        # f32 operands: force true-f32 MXU passes (TPU would silently use
-        # bf16 otherwise); bf16 operands: plain bf16 matmuls (FP16-path analog).
+        # f32 operands: bf16x3 MXU passes (~f32; TPU would silently use plain
+        # bf16 otherwise); bf16 operands: plain bf16 (FP16-path analog).
         precision=lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT,
     )
     return out[0]
+
+
+def _chunked_conv_select(
+    padded: jnp.ndarray,
+    buckets: jnp.ndarray,
+    kernels: jnp.ndarray,
+    patch_size: int,
+    stride: int,
+    start: tuple[int, int],
+    out_shape: tuple[int, int],
+    chunk_rows: int,
+    dtype,
+) -> jnp.ndarray:
+    """Row-chunked (conv over all buckets) + take_along_axis select.
+
+    fori_loop keeps the graph one-conv-sized; the [chunk, w, 216] G tensor
+    never exceeds VMEM-friendly chunks and is consumed immediately."""
+    out_h, out_w = out_shape
+    n_chunks = -(-out_h // chunk_rows)
+    pad_h = n_chunks * chunk_rows - out_h
+    buckets_p = jnp.pad(buckets, ((0, pad_h), (0, 0)))
+    # pad the source so the last chunk's slice stays in range
+    padded_p = jnp.pad(padded, ((0, pad_h * stride), (0, 0)))
+    out0 = jnp.zeros((n_chunks * chunk_rows, out_w), dtype=jnp.float32)
+    slice_h = stride * (chunk_rows - 1) + patch_size
+    slice_w = stride * (out_w - 1) + patch_size
+
+    def body(k, acc):
+        r = k * chunk_rows
+        sl = lax.dynamic_slice(padded_p, (start[0] + r * stride, start[1]), (slice_h, slice_w))
+        g = _conv_all_buckets(sl, kernels, stride, dtype)  # [chunk, out_w, 216]
+        idx = lax.dynamic_slice(buckets_p, (r, 0), (chunk_rows, out_w))
+        sel = jnp.take_along_axis(g, idx[:, :, None], axis=2)[..., 0]
+        return lax.dynamic_update_slice(acc, sel, (r, 0))
+
+    out = lax.fori_loop(0, n_chunks, body, out0)
+    return out[:out_h]
 
 
 def apply_filters_conv(
@@ -77,7 +114,7 @@ def apply_filters_conv(
     pixel_types: int,
     patch_margin: int,
     ratio: int,
-    chunk_rows: int = 64,
+    chunk_rows: int = 128,
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Dense-conv formulation. buckets [H,W] int32 in [0, 216);
@@ -97,18 +134,10 @@ def apply_filters_conv(
     )
 
     if pixel_types == 1:
-        out = jnp.zeros((h, w), dtype=jnp.float32)
-        for r0 in range(0, h, chunk_rows):
-            rows = min(chunk_rows, h - r0)
-            sl = lax.dynamic_slice(
-                padded, (r0, 0), (rows + 2 * margin, w + 2 * margin)
-            )
-            g = _conv_all_buckets(sl, kernels[:, 0], 1, dtype)  # [rows, w, 216]
-            sel = jnp.take_along_axis(
-                g, buckets[r0 : r0 + rows, :, None], axis=2
-            )[..., 0]
-            out = lax.dynamic_update_slice(out, sel, (r0, 0))
-        return out
+        return _chunked_conv_select(
+            padded, buckets, kernels[:, 0], patch_size, 1, (0, 0), (h, w),
+            chunk_rows, dtype,
+        )
 
     assert pixel_types == ratio * ratio == 4
     out = jnp.zeros((h, w), dtype=jnp.float32)
@@ -119,21 +148,9 @@ def apply_filters_conv(
             pt = pr * 2 + pc
             sub_h = (h - r0 + 1) // 2
             sub_w = (w - c0 + 1) // 2
-            sub_buckets = buckets[r0::2, c0::2]
-            sub = jnp.zeros((sub_h, sub_w), dtype=jnp.float32)
-            for k0 in range(0, sub_h, chunk_rows):
-                rows = min(chunk_rows, sub_h - k0)
-                # output rows r0 + 2*(k0..k0+rows): patch top = that - margin,
-                # i.e. padded row index r0 + 2*k0.
-                sl = lax.dynamic_slice(
-                    padded,
-                    (r0 + 2 * k0, c0),
-                    (2 * (rows - 1) + patch_size, 2 * (sub_w - 1) + patch_size),
-                )
-                g = _conv_all_buckets(sl, kernels[:, pt], 2, dtype)
-                sel = jnp.take_along_axis(
-                    g, sub_buckets[k0 : k0 + rows, :, None], axis=2
-                )[..., 0]
-                sub = lax.dynamic_update_slice(sub, sel, (k0, 0))
+            sub = _chunked_conv_select(
+                padded, buckets[r0::2, c0::2], kernels[:, pt], patch_size, 2,
+                (r0, c0), (sub_h, sub_w), chunk_rows, dtype,
+            )
             out = out.at[r0::2, c0::2].set(sub)
     return out

@@ -1,0 +1,396 @@
+"""Fused filter-apply Pallas kernel (the RAISR hot op on TPU).
+
+Computes, per output pixel, patch(11x11) . F[bucket] — the hashed-filter dot
+product that the reference implements as a per-pixel pointer gather + SIMD
+dot (reference: Raisr.cpp:1147-1160, Raisr_AVX512.cpp:134-149) and OpenCL as
+the `hash_mul` kernel (Raisr_OpenCL_kernel.h:106-168).
+
+TPU-native formulation ("the 216-bucket gather as a dense MXU matmul"):
+  - For ratio 2, each of the 4 (row, col) pixel phases owns a [H/2, W/2]
+    subgrid and its own 216-filter bank (pixelType, Raisr.cpp:1091-1094).
+    One kernel invocation processes a band of 16 full image rows and all 4
+    phases, reading the image as two column-parity planes (even/odd lanes)
+    so every patch column offset is an unstrided lane slice.
+  - Per pair of phase-rows, the kernel assembles the patch matrix
+    PT [176, 2*W/2] (taps grouped 16-sublane-aligned per patch column),
+    computes G^T = F^T [224, 176] @ PT on the MXU, and selects
+    G^T[bucket[c], c] with a one-hot sublane compare + reduce — the
+    216-channel G tensor never leaves VMEM (an XLA conv formulation streams
+    ~7 GB/frame of G through HBM).
+  - The overlapping 11-row halo between bands is expressed with two
+    *Blocked* windows per plane (block index maps i and i+1): Element
+    windowing would force the whole output into scoped VMEM and disable
+    the grid pipeline.
+  - Precision: the patch operand is bfloat16 (exact for 8-bit content);
+    filters are split hi + lo bfloat16 (f32 to ~2^-17 relative) -> two MXU
+    passes give f32-grade output. For 10/16-bit content a low-order image
+    plane is added (mxu_passes=3), the TPU analogue of the reference's
+    AVX512-FP16 trade (Raisr_AVX512FP16.cpp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NB = 216  # hash buckets (Qangle * Qstrength * Qcoherence)
+NBP = 224  # sublane-padded bucket count
+BLOCK = 16  # sublane-aligned tap rows per patch column (11 data + 5 zero)
+ROWBATCH = 2  # phase-rows batched per matmul (N = ROWBATCH * w2p)
+
+
+def _split_hi_lo(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _copy_rows(pt_ref, dst_row, plane_a, plane_b, src_row, n_rows, col_lo, col_hi, band: int):
+    """pt_ref[dst_row : dst_row+n_rows] = plane rows [src_row, src_row+n_rows)
+    where rows 0..band-1 live in plane_a and band.. in plane_b."""
+    if src_row + n_rows <= band:
+        pt_ref[dst_row : dst_row + n_rows, :] = plane_a[src_row : src_row + n_rows, col_lo:col_hi]
+    elif src_row >= band:
+        r = src_row - band
+        pt_ref[dst_row : dst_row + n_rows, :] = plane_b[r : r + n_rows, col_lo:col_hi]
+    else:
+        n1 = band - src_row
+        pt_ref[dst_row : dst_row + n1, :] = plane_a[src_row:band, col_lo:col_hi]
+        pt_ref[dst_row + n1 : dst_row + n_rows, :] = plane_b[0 : n_rows - n1, col_lo:col_hi]
+
+
+def _band_kernel(
+    *refs,
+    tb2: int,
+    w2p: int,
+    patch_size: int,
+    mxu_passes: int,
+    band: int,
+):
+    # refs: cea, ceb, coa, cob, [cela, celb, cola, colb,]
+    #       bkt0..3, f0hi, f0lo, ..., f3hi, f3lo, out, pt[, ptl]
+    it = iter(refs)
+    cea, ceb, coa, cob = (next(it) for _ in range(4))
+    if mxu_passes >= 3:
+        cela, celb, cola, colb = (next(it) for _ in range(4))
+    bkts = tuple(next(it) for _ in range(4))
+    fs = tuple((next(it), next(it)) for _ in range(4))
+    out_ref = next(it)  # [tb2, 4 * w2p] f32 — phase p at lanes [p*w2p, ...)
+    pt_ref = next(it)
+    ptl_ref = next(it) if mxu_passes >= 3 else None
+
+    n = ROWBATCH * w2p
+    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
+    dims = (((1,), (0,)), ((), ()))
+
+    # zero tap-pad rows once (0 * garbage could be NaN)
+    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
+    for j in range(patch_size):
+        pt_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+        if mxu_passes >= 3:
+            ptl_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+
+    for p, (r0, c0) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        fhi_ref, flo_ref = fs[p]
+        for kb in range(0, tb2, ROWBATCH):
+            for b in range(ROWBATCH):
+                k = kb + b
+                for j in range(patch_size):
+                    parity = (c0 + j + 1) % 2
+                    off = (c0 + j + 1) // 2
+                    pa, pb = (cea, ceb) if parity == 0 else (coa, cob)
+                    _copy_rows(
+                        pt_ref.at[:, b * w2p : (b + 1) * w2p],
+                        j * BLOCK,
+                        pa, pb,
+                        2 * k + r0,
+                        patch_size,
+                        off, off + w2p,
+                        band,
+                    )
+                    if mxu_passes >= 3:
+                        pla, plb = (cela, celb) if parity == 0 else (cola, colb)
+                        _copy_rows(
+                            ptl_ref.at[:, b * w2p : (b + 1) * w2p],
+                            j * BLOCK,
+                            pla, plb,
+                            2 * k + r0,
+                            patch_size,
+                            off, off + w2p,
+                            band,
+                        )
+
+            pt = pt_ref[...]
+            gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
+            if mxu_passes >= 2:
+                gt = gt + lax.dot_general(flo_ref[...], pt, dims, preferred_element_type=jnp.float32)
+            if mxu_passes >= 3:
+                gt = gt + lax.dot_general(
+                    fhi_ref[...], ptl_ref[...], dims, preferred_element_type=jnp.float32
+                )
+
+            idx = jnp.concatenate(
+                [bkts[p][kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
+            )  # [1, n]
+            mask = sub_iota == idx
+            sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+            for b in range(ROWBATCH):
+                out_ref[kb + b : kb + b + 1, p * w2p : (p + 1) * w2p] = sel[
+                    :, b * w2p : (b + 1) * w2p
+                ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "patch_size", "pixel_types", "patch_margin", "ratio", "mxu_passes",
+        "tb2", "interpret",
+    ),
+)
+def apply_filters_pallas(
+    cheap: jnp.ndarray,  # [H, W] f32 (integer-valued)
+    buckets: jnp.ndarray,  # [H, W] int32 in [0, 216)
+    filters: jnp.ndarray,  # [216 * pixel_types, 128] f32
+    patch_size: int = 11,
+    pixel_types: int = 4,
+    patch_margin: int = 5,
+    ratio: int = 2,
+    mxu_passes: int = 2,
+    tb2: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused filter apply; returns the raw filtered plane [H, W] f32.
+
+    Border pixels (within patch_margin+1 of an edge) are computed from
+    zero-padding and are garbage by design — the pipeline masks them out
+    (they are outside the reference's processed zone, Raisr.cpp:1038-1066).
+    """
+    if pixel_types == 1:
+        return _apply_filters_single_phase(
+            cheap, buckets, filters, patch_size, mxu_passes, tb2, interpret
+        )
+    assert pixel_types == 4 and ratio == 2
+
+    h, w = cheap.shape
+    m = patch_size // 2
+    n_taps = patch_size * patch_size
+    k_dim = patch_size * BLOCK  # 176
+    band = 2 * tb2  # full image rows per grid step
+
+    h2 = -(-h // 2)
+    w2 = -(-w // 2)
+    h2p = _pad_to(h2, tb2)
+    w2p = _pad_to(w2, 128)
+    plane_w = w2p + 128
+
+    n_tiles = h2p // tb2
+    top = m  # patch top of band i's first output row = padded row band*i
+    # rows required: (n_tiles + 1) * band for the i+1 window
+    bottom = (n_tiles + 1) * band - (h + top)
+    left = m + 1
+    right = 2 * plane_w - w - left
+
+    padded = jnp.pad(cheap, ((top, bottom), (left, right)))
+    ce = padded[:, 0::2].astype(jnp.bfloat16)
+    co = padded[:, 1::2].astype(jnp.bfloat16)
+    planes = [ce, co]
+    if mxu_passes >= 3:
+        lo = padded - padded.astype(jnp.bfloat16).astype(jnp.float32)
+        planes.append(lo[:, 0::2].astype(jnp.bfloat16))
+        planes.append(lo[:, 1::2].astype(jnp.bfloat16))
+
+    # per-phase filters^T with taps at t = j*BLOCK + i: [NBP, K]
+    f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
+    f_phase = []
+    for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
+        fp = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
+        fp = fp.at[:NB, :, :patch_size].set(jnp.transpose(f_all[:, pt_idx], (0, 2, 1)))
+        f_phase.extend(_split_hi_lo(fp.reshape(NBP, k_dim)))
+
+    bkts = []
+    for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        b = buckets[r0::2, c0::2]
+        bkts.append(jnp.pad(b, ((0, h2p - b.shape[0]), (0, w2p - b.shape[1]))))
+
+    # Two adjacent Blocked windows per plane give the 11-row overlap. The
+    # second window is a band-shifted *slice* (a distinct buffer): passing
+    # the same buffer twice makes XLA stack-allocate the whole pallas output
+    # in scoped VMEM (33 MB > 16 MB limit) instead of windowing it.
+    plane_spec = pl.BlockSpec((band, plane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bkt_spec = pl.BlockSpec((tb2, w2p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tb2, 4 * w2p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.extend([pln[: n_tiles * band], pln[band:]])
+
+    kernel = functools.partial(
+        _band_kernel,
+        tb2=tb2,
+        w2p=w2p,
+        patch_size=patch_size,
+        mxu_passes=mxu_passes,
+        band=band,
+    )
+    scratch = [pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16)]
+    if mxu_passes >= 3:
+        scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 8,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((h2p, 4 * w2p), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, *bkts, *f_phase)
+
+    outs = [
+        out[: (h - r0 + 1) // 2, p * w2p : p * w2p + (w - c0 + 1) // 2]
+        for p, (r0, c0) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)])
+    ]
+    # interleave the 4 phase subgrids back (reshape form, no scatter)
+    he, we = -(-h // 2), -(-w // 2)
+    outs = [jnp.pad(o, ((0, he - o.shape[0]), (0, we - o.shape[1]))) for o in outs]
+    row0 = jnp.stack([outs[0], outs[1]], axis=2).reshape(he, 2 * we)
+    row1 = jnp.stack([outs[2], outs[3]], axis=2).reshape(he, 2 * we)
+    return jnp.stack([row0, row1], axis=1).reshape(2 * he, 2 * we)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# single-phase variant (ratio 1.5 / pixel_types == 1)
+# ---------------------------------------------------------------------------
+
+
+def _single_kernel(
+    *refs,
+    tbr: int,
+    wp: int,
+    patch_size: int,
+    mxu_passes: int,
+    band: int,
+):
+    it = iter(refs)
+    pa, pb = next(it), next(it)
+    if mxu_passes >= 3:
+        pla, plb = next(it), next(it)
+    bkt_ref = next(it)
+    fhi_ref, flo_ref = next(it), next(it)
+    out_ref = next(it)
+    pt_ref = next(it)
+    ptl_ref = next(it) if mxu_passes >= 3 else None
+
+    n = ROWBATCH * wp
+    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
+    dims = (((1,), (0,)), ((), ()))
+    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
+    for j in range(patch_size):
+        pt_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+        if mxu_passes >= 3:
+            ptl_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+
+    for kb in range(0, tbr, ROWBATCH):
+        for b in range(ROWBATCH):
+            k = kb + b
+            for j in range(patch_size):
+                # padded col of tap j for output col c: c + j + 1
+                _copy_rows(
+                    pt_ref.at[:, b * wp : (b + 1) * wp],
+                    j * BLOCK, pa, pb, k, patch_size, j + 1, j + 1 + wp, band,
+                )
+                if mxu_passes >= 3:
+                    _copy_rows(
+                        ptl_ref.at[:, b * wp : (b + 1) * wp],
+                        j * BLOCK, pla, plb, k, patch_size, j + 1, j + 1 + wp, band,
+                    )
+        pt = pt_ref[...]
+        gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
+        if mxu_passes >= 2:
+            gt = gt + lax.dot_general(flo_ref[...], pt, dims, preferred_element_type=jnp.float32)
+        if mxu_passes >= 3:
+            gt = gt + lax.dot_general(fhi_ref[...], ptl_ref[...], dims, preferred_element_type=jnp.float32)
+        idx = jnp.concatenate(
+            [bkt_ref[kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
+        )
+        mask = sub_iota == idx
+        sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+        for b in range(ROWBATCH):
+            out_ref[kb + b : kb + b + 1, :] = sel[:, b * wp : (b + 1) * wp]
+
+
+def _apply_filters_single_phase(
+    cheap, buckets, filters, patch_size, mxu_passes, tb2, interpret
+):
+    h, w = cheap.shape
+    m = patch_size // 2
+    n_taps = patch_size * patch_size
+    k_dim = patch_size * BLOCK
+
+    tbr = 2 * tb2  # output rows per band (stride 1)
+    band = tbr
+    hp = _pad_to(h, tbr)
+    wp = _pad_to(w, 128)
+    plane_w = wp + 128
+
+    n_tiles = hp // tbr
+    top = m  # band i's first patch row sits at padded row band*i
+    bottom = (n_tiles + 1) * band - (h + top)
+    left = m + 1
+    right = plane_w - w - left
+
+    padded = jnp.pad(cheap, ((top, bottom), (left, right)))
+    plane = padded.astype(jnp.bfloat16)
+    planes = [plane]
+    if mxu_passes >= 3:
+        planes.append((padded - plane.astype(jnp.float32)).astype(jnp.bfloat16))
+
+    f_pt = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
+    f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
+    f_pt = f_pt.at[:NB, :, :patch_size].set(jnp.transpose(f_all, (0, 2, 1)))
+    fhi, flo = _split_hi_lo(f_pt.reshape(NBP, k_dim))
+
+    bkt = jnp.pad(buckets, ((0, hp - h), (0, wp - w)))
+
+    plane_spec = pl.BlockSpec((band, plane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        # band-shifted slice = distinct buffer (see the 4-phase variant)
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.extend([pln[: n_tiles * band], pln[band:]])
+
+    kernel = functools.partial(
+        _single_kernel, tbr=tbr, wp=wp, patch_size=patch_size,
+        mxu_passes=mxu_passes, band=band,
+    )
+    scratch = [pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16)]
+    if mxu_passes >= 3:
+        scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs
+        + [
+            pl.BlockSpec((tbr, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tbr, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, bkt, fhi, flo)
+    return out[:h, :w]

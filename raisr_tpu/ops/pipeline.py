@@ -104,7 +104,20 @@ def raisr_pass(
     )
     ptype = hashing.pixel_types(h, w, s.ratio_int, s.patch_margin, s.use_pixel_type)
 
-    if s.backend == "conv":
+    if s.backend == "pallas":
+        from raisr_tpu.ops.pallas.filter_kernel import apply_filters_pallas
+
+        raw = apply_filters_pallas(
+            cheap,
+            buckets,
+            filters,
+            patch_size=s.patch_size,
+            pixel_types=s.pixel_types,
+            patch_margin=s.patch_margin,
+            ratio=s.ratio_int,
+            mxu_passes=2 if s.bits == 8 else 3,
+        )
+    elif s.backend == "conv":
         raw = apply_filters_conv(
             cheap,
             buckets,

@@ -33,13 +33,31 @@ def _axis_weights(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray, 
     return idx0, idx1, frac
 
 
+def _upscale_axis0_2x(img: jnp.ndarray) -> jnp.ndarray:
+    """Gather-free 2x upsample along axis 0.
+
+    The half-pixel mapping for 2x gives fixed weights: out[2k] =
+    0.25*in[k-1] + 0.75*in[k] (k-1 edge-clamped), out[2k+1] = 0.75*in[k] +
+    0.25*in[k+1]. Expressed as slices + interleave so XLA never emits a
+    gather (TPU gathers are slow)."""
+    n = img.shape[0]
+    prev = jnp.concatenate([img[:1], img[:-1]], axis=0)
+    nxt = jnp.concatenate([img[1:], img[-1:]], axis=0)
+    even = img + (prev - img) * 0.25
+    odd = img + (nxt - img) * 0.25
+    return jnp.stack([even, odd], axis=1).reshape((2 * n,) + img.shape[1:])
+
+
 def bilinear_upscale(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Bilinear resize of a single plane (float32 in, float32 out, un-rounded)."""
     in_h, in_w = img.shape
+    img = img.astype(jnp.float32)
+
+    if out_h == 2 * in_h and out_w == 2 * in_w:
+        return _upscale_axis0_2x(_upscale_axis0_2x(img.T).T)
+
     r0, r1, rf = _axis_weights(in_h, out_h)
     c0, c1, cf = _axis_weights(in_w, out_w)
-
-    img = img.astype(jnp.float32)
     # a + (b - a) * f: single-FMA form, keeps codegen (and exact .5 rounding
     # ties) identical between this and the row-sharded stripe resize
     a = jnp.take(img, r0, axis=0)
