@@ -1,0 +1,226 @@
+"""RAISR filter training — a capability the reference does NOT ship.
+
+The reference repo contains only pretrained banks; its filternotes.txt
+describes the method (hashed least-squares per bucket: RAISR, arXiv:1606.01299
+— cheap-upscaled LR patches regressed onto HR pixels per (bucket, phase)).
+This module trains banks TPU-natively:
+
+  - per (bucket, pixelType): accumulate the normal equations
+        Q[b] += A^T A,   V[b] += A^T y
+    over (cheap-upscaled LR, HR) pairs, where A rows are 11x11 patches of
+    the cheap upscale whose center hashes to bucket b,
+  - the per-pixel scatter is a one-hot MXU contraction (no host gathers),
+  - data parallelism: each device accumulates its shard of image pairs,
+    Q/V are combined with jax.lax.psum over the mesh — this is the
+    framework's distributed *training step*,
+  - solve (Q + lam*I) w = V batched over all 864 buckets, emit a FilterBank
+    compatible with the inference engine and the reference's on-disk format
+    (see train.export).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from raisr_tpu.config import RaisrConfig
+from raisr_tpu.model.gaussian import gaussian_weights
+from raisr_tpu.model.loader import FilterBank, RaisrModel
+from raisr_tpu.ops import hashing
+from raisr_tpu.ops.resize import cheap_upscale
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    ratio: float = 2.0
+    bits: int = 8
+    qangle: int = 24
+    qstrength: int = 3
+    qcoherence: int = 3
+    patch_size: int = 11
+    # strength/coherence bin edges; defaults match the shipped 2x banks
+    qstr: tuple[float, ...] = (0.001269, 0.022169)
+    qcoh: tuple[float, ...] = (0.192916, 0.405942)
+    lam: float = 0.01  # Tikhonov regularization for the normal equations
+    chunk: int = 2048  # pixels per one-hot contraction chunk
+
+    @property
+    def pixel_types(self) -> int:
+        return int(self.ratio) * int(self.ratio)
+
+    @property
+    def num_buckets(self) -> int:
+        return self.qangle * self.qstrength * self.qcoherence
+
+    @property
+    def num_filters(self) -> int:
+        return self.num_buckets * self.pixel_types
+
+
+def _patches_and_labels(cheap: jnp.ndarray, hr: jnp.ndarray, cfg: TrainConfig):
+    """im2col over the interior + per-pixel filter index + HR labels."""
+    m = cfg.patch_size // 2
+    lm = m + 1
+    h, w = cheap.shape
+    weights = gaussian_weights(cfg.patch_size, cfg.bits)
+
+    gx, gy = hashing.gradients(cheap)
+    a, b, d = hashing.structure_tensor(gx, gy, jnp.asarray(weights))
+    buckets = hashing.hash_buckets(
+        a, b, d,
+        jnp.asarray(cfg.qstr, jnp.float32), jnp.asarray(cfg.qcoh, jnp.float32),
+        cfg.qangle, cfg.qstrength, cfg.qcoherence,
+    )
+    ptype = hashing.pixel_types(h, w, int(cfg.ratio), m, cfg.pixel_types > 1)
+    idx = buckets * cfg.pixel_types + ptype
+
+    # interior pixels only (matches the inference processed zone)
+    core = (slice(lm, h - lm), slice(lm, w - lm))
+    n_taps = cfg.patch_size * cfg.patch_size
+    cols = []
+    for i in range(cfg.patch_size):
+        for j in range(cfg.patch_size):
+            cols.append(
+                lax.dynamic_slice(
+                    cheap, (lm - m + i, lm - m + j), (h - 2 * lm, w - 2 * lm)
+                ).reshape(-1)
+            )
+    patches = jnp.stack(cols, axis=1)  # [N, 121]
+    labels = hr[core].reshape(-1)
+    return patches, idx[core].reshape(-1), labels
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def accumulate_pair(
+    q: jnp.ndarray,  # [num_filters, 121, 121] f32
+    v: jnp.ndarray,  # [num_filters, 121] f32
+    cheap: jnp.ndarray,  # [H, W] integer-valued f32 (cheap-upscaled LR)
+    hr: jnp.ndarray,  # [H, W] integer-valued f32 (ground truth)
+    cfg: TrainConfig,
+):
+    """Add one image pair's normal-equation contributions to (Q, V)."""
+    patches, idx, labels = _patches_and_labels(cheap, hr, cfg)
+    n = patches.shape[0]
+    nf = cfg.num_filters
+    c = cfg.chunk
+    n_chunks = -(-n // c)
+    pad = n_chunks * c - n
+    patches = jnp.pad(patches, ((0, pad), (0, 0)))
+    labels = jnp.pad(labels, (0, pad))
+    idx = jnp.pad(idx, (0, pad), constant_values=nf)  # pad rows -> no bucket
+
+    def body(k, qv):
+        q, v = qv
+        p = lax.dynamic_slice(patches, (k * c, 0), (c, patches.shape[1]))
+        y = lax.dynamic_slice(labels, (k * c,), (c,))
+        ix = lax.dynamic_slice(idx, (k * c,), (c,))
+        onehot = (ix[:, None] == jnp.arange(nf)[None, :]).astype(jnp.float32)
+        # V[b] += sum onehot[n,b] * y_n * p_n : [nf, c] @ [c, 121]
+        v = v + jnp.matmul(
+            onehot.T, p * y[:, None], precision=lax.Precision.HIGHEST
+        )
+        # Q[b] += p^T diag(onehot[:, b]) p — contracted as
+        # (p outer p) [c,121,121] then [nf, c] @ [c, 121*121] on the MXU
+        outer = (p[:, :, None] * p[:, None, :]).reshape(c, -1)
+        q = q + jnp.matmul(
+            onehot.T, outer, precision=lax.Precision.HIGHEST
+        ).reshape(q.shape)
+        return q, v
+
+    q, v = lax.fori_loop(0, n_chunks, body, (q, v))
+    return q, v
+
+
+def init_accumulators(cfg: TrainConfig):
+    n_taps = cfg.patch_size * cfg.patch_size
+    q = jnp.zeros((cfg.num_filters, n_taps, n_taps), jnp.float32)
+    v = jnp.zeros((cfg.num_filters, n_taps), jnp.float32)
+    return q, v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def solve_filters(q: jnp.ndarray, v: jnp.ndarray, cfg: TrainConfig) -> jnp.ndarray:
+    """Regularized normal-equation solve -> [num_filters, 128] padded.
+
+    Per-bucket *relative* Tikhonov regularization toward the identity filter:
+        (Q + lam_b I) w = V + lam_b e_center,  lam_b = lam * trace(Q_b)/taps.
+    This keeps the batched f32 solve well-conditioned (cond <= taps/lam) and
+    makes under-sampled buckets fall back smoothly to pass-through — empty
+    buckets become exactly the interpolation-identity filter."""
+    n_taps = q.shape[-1]
+    eye = jnp.eye(n_taps, dtype=jnp.float32)
+    identity = jnp.zeros((n_taps,), jnp.float32).at[n_taps // 2].set(1.0)
+
+    trace = jnp.einsum("bii->b", q)
+    lam_b = cfg.lam * trace / n_taps + 1e-8  # empty buckets: pure identity
+    a = q + lam_b[:, None, None] * eye[None]
+    rhs = v + lam_b[:, None] * identity[None, :]
+    w = jnp.linalg.solve(a, rhs[..., None])[..., 0]
+
+    aligned = 16 * ((n_taps + 15) // 16)
+    return jnp.pad(w, ((0, 0), (0, aligned - n_taps)))
+
+
+def train_filterbank(
+    pairs: Iterable[tuple[np.ndarray, np.ndarray]],
+    cfg: TrainConfig,
+) -> FilterBank:
+    """Train from (lr, hr) uint pairs (single device)."""
+    q, v = init_accumulators(cfg)
+    for lr, hr in pairs:
+        hr = jnp.asarray(hr, jnp.float32)
+        out_h, out_w = hr.shape
+        cheap = cheap_upscale(jnp.asarray(lr, jnp.float32), out_h, out_w, cfg.bits)
+        q, v = accumulate_pair(q, v, cheap, hr, cfg)
+    filters = solve_filters(q, v, cfg)
+    return FilterBank(
+        filters=np.asarray(filters),
+        qstr=np.asarray(cfg.qstr, np.float32),
+        qcoh=np.asarray(cfg.qcoh, np.float32),
+        pixel_types=cfg.pixel_types,
+        taps=cfg.patch_size * cfg.patch_size,
+        source_dtype="fp32",
+    )
+
+
+def train_step_sharded(
+    lr_batch: jnp.ndarray,  # [N, h, w] — N sharded over the mesh
+    hr_batch: jnp.ndarray,  # [N, H, W]
+    cfg: TrainConfig,
+    mesh,
+    axis: str = "data",
+):
+    """One distributed training step: every device hashes + accumulates its
+    shard of image pairs; Q/V are reduced with psum over ICI. Returns the
+    solved filter bank (replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    out_h, out_w = hr_batch.shape[1], hr_batch.shape[2]
+
+    def per_device(lr_s, hr_s):
+        q, v = init_accumulators(cfg)
+
+        def body(i, qv):
+            q, v = qv
+            cheap = cheap_upscale(lr_s[i].astype(jnp.float32), out_h, out_w, cfg.bits)
+            return accumulate_pair(q, v, cheap, hr_s[i].astype(jnp.float32), cfg)
+
+        q, v = lax.fori_loop(0, lr_s.shape[0], body, (q, v))
+        q = lax.psum(q, axis)
+        v = lax.psum(v, axis)
+        return solve_filters(q, v, cfg)
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(lr_batch, hr_batch)

@@ -1,0 +1,96 @@
+"""Trainer tests: the learned least-squares filters must (a) reconstruct a
+known linear mapping, (b) round-trip through the reference file format,
+(c) produce the same bank from the sharded distributed step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from raisr_tpu.config import RaisrConfig
+from raisr_tpu.model.loader import load_model
+from raisr_tpu.ops.resize import cheap_upscale
+from raisr_tpu.train import (
+    TrainConfig,
+    train_filterbank,
+    train_step_sharded,
+    save_filter_folder,
+)
+from raisr_tpu.parallel.sharding import make_mesh
+
+
+def _pairs(n, lr_h=16, lr_w=20, seed=0, bits=8):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        img = rng.normal(size=(lr_h, lr_w))
+        for ax in (0, 1):
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, np.ones(3) / 3, "same"), ax, img
+            )
+        img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+        lr = np.floor(img * 255).astype(np.float32)
+        hr = np.asarray(cheap_upscale(jnp.asarray(lr), lr_h * 2, lr_w * 2, bits))
+        out.append((lr, hr))
+    return out
+
+
+class TestTrainer:
+    def test_identity_recovery(self):
+        # HR == cheap upscale => the optimal filter reproduces the center tap
+        cfg = TrainConfig(lam=1e-4, chunk=512)
+        bank = train_filterbank(_pairs(3), cfg)
+        assert bank.filters.shape == (864, 128)
+        # hit buckets should be near-identity on the cheap image: applying the
+        # filters to a new cheap image reproduces it closely
+        from raisr_tpu.ops.filter_apply import apply_filters_taps
+        from raisr_tpu.ops import hashing
+        from raisr_tpu.model.gaussian import gaussian_weights
+
+        lr, hr = _pairs(1, seed=99)[0]
+        cheap = cheap_upscale(jnp.asarray(lr), 32, 40, 8)
+        gx, gy = hashing.gradients(cheap)
+        a, b, d = hashing.structure_tensor(gx, gy, jnp.asarray(gaussian_weights(11, 8)))
+        buckets = hashing.hash_buckets(
+            a, b, d, jnp.asarray(cfg.qstr), jnp.asarray(cfg.qcoh), 24, 3, 3
+        )
+        ptype = hashing.pixel_types(32, 40, 2, 5, True)
+        idx = buckets * 4 + ptype
+        out = np.asarray(
+            apply_filters_taps(cheap, idx, jnp.asarray(bank.filters), 11)
+        )
+        core = np.s_[6:-6, 6:-6]
+        err = np.abs(out[core] - np.asarray(cheap)[core])
+        assert np.median(err) < 1.0, np.median(err)
+
+    def test_export_roundtrip(self, tmp_path):
+        cfg = TrainConfig(lam=1e-3, chunk=512)
+        bank = train_filterbank(_pairs(2), cfg)
+        folder = str(tmp_path / "trained")
+        save_filter_folder(folder, [bank], bits=8)
+        rcfg = RaisrConfig(filterfolder=folder)
+        model = load_model(folder, rcfg)
+        np.testing.assert_array_equal(model.banks[0].filters, bank.filters)
+        np.testing.assert_allclose(model.banks[0].qstr, bank.qstr, rtol=1e-5)
+
+    def test_trained_bank_runs_in_engine(self, tmp_path):
+        from raisr_tpu.engine import RaisrEngine, Frame
+
+        cfg = TrainConfig(lam=1e-3, chunk=512)
+        bank = train_filterbank(_pairs(2), cfg)
+        folder = str(tmp_path / "trained")
+        save_filter_folder(folder, [bank], bits=8)
+        eng = RaisrEngine(RaisrConfig(filterfolder=folder))
+        lr, _ = _pairs(1, seed=5)[0]
+        out = eng.process(Frame(y=lr.astype(np.uint8)))
+        assert out.y.shape == (32, 40)
+
+    def test_sharded_step_matches_single(self):
+        cfg = TrainConfig(lam=1e-3, chunk=512)
+        pairs = _pairs(8, seed=3)
+        lr_batch = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+        hr_batch = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+        mesh = make_mesh(4, ("data",))
+        sharded = np.asarray(train_step_sharded(lr_batch, hr_batch, cfg, mesh))
+        single = train_filterbank(pairs, cfg)
+        np.testing.assert_allclose(sharded, single.filters, rtol=2e-3, atol=2e-4)
