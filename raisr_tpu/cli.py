@@ -165,7 +165,9 @@ def main(argv=None) -> int:
     p_up.add_argument("-o", "--output", required=True)
     p_up.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
     p_up.add_argument("--size", default=None, help="WxH for raw .yuv input")
-    p_up.add_argument("--format", default="420", choices=["420", "422", "444", "mono"])
+    p_up.add_argument(
+        "--format", default="420", choices=["420", "422", "444", "nv12", "mono"]
+    )
     _add_common(p_up)
     p_up.set_defaults(fn=cmd_upscale)
 

@@ -24,6 +24,7 @@ _SUBSAMPLING = {
     "420": (2, 2),
     "422": (1, 2),
     "444": (1, 1),
+    "nv12": (2, 2),  # 4:2:0 with interleaved UV (vf_raisr_opencl sw format)
     "mono": None,
 }
 
@@ -168,7 +169,7 @@ class Y4MWriter:
 
 
 class RawYUVReader:
-    """Headerless planar YUV (format must be supplied)."""
+    """Headerless planar YUV or NV12/P010 (format must be supplied)."""
 
     def __init__(self, f: BinaryIO | str, fmt: VideoFormat):
         self._own = isinstance(f, (str, os.PathLike))
@@ -189,8 +190,16 @@ class RawYUVReader:
             u = v = None
             if u_shape is not None:
                 n_uv = u_shape[0] * u_shape[1]
-                u = buf[n_y : n_y + n_uv].reshape(u_shape)
-                v = buf[n_y + n_uv : n_y + 2 * n_uv].reshape(v_shape)
+                if fmt.subsampling == "nv12":
+                    from raisr_tpu.io_native import nv12_to_planar
+
+                    uv = buf[n_y : n_y + 2 * n_uv].reshape(
+                        u_shape[0], 2 * u_shape[1]
+                    )
+                    u, v = nv12_to_planar(uv)
+                else:
+                    u = buf[n_y : n_y + n_uv].reshape(u_shape)
+                    v = buf[n_y + n_uv : n_y + 2 * n_uv].reshape(v_shape)
             yield Frame(y=y, u=u, v=v)
 
     def close(self):
@@ -208,8 +217,17 @@ class RawYUVWriter:
         dt = self.fmt.dtype
         self.f.write(np.ascontiguousarray(frame.y, dtype=dt).tobytes())
         if frame.u is not None:
-            self.f.write(np.ascontiguousarray(frame.u, dtype=dt).tobytes())
-            self.f.write(np.ascontiguousarray(frame.v, dtype=dt).tobytes())
+            if self.fmt.subsampling == "nv12":
+                from raisr_tpu.io_native import planar_to_nv12
+
+                uv = planar_to_nv12(
+                    np.ascontiguousarray(frame.u, dtype=dt),
+                    np.ascontiguousarray(frame.v, dtype=dt),
+                )
+                self.f.write(uv.tobytes())
+            else:
+                self.f.write(np.ascontiguousarray(frame.u, dtype=dt).tobytes())
+                self.f.write(np.ascontiguousarray(frame.v, dtype=dt).tobytes())
 
     def close(self):
         if self._own:

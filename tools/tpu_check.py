@@ -1,0 +1,114 @@
+"""On-TPU validation + benchmark suite (single process, fenced timings).
+
+Run on real TPU hardware: python tools/tpu_check.py
+All timings fence via host fetches (remote-execution backends no-op
+block_until_ready and cache identical dispatches).
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def fence(x):
+    return float(jnp.sum(x))
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def check_kernel_correctness():
+    from raisr_tpu.ops.pallas.filter_kernel import apply_filters_pallas
+    from raisr_tpu.ops.filter_apply import apply_filters_taps
+
+    rng = np.random.default_rng(0)
+    for pixel_types, ratio, passes in [(4, 2, 2), (1, 1, 2), (4, 2, 3)]:
+        h, w = 64, 128
+        img = jnp.asarray(rng.integers(0, 1023 if passes == 3 else 255, size=(h, w)).astype(np.float32))
+        bkt = jnp.asarray(rng.integers(0, 216, size=(h, w)).astype(np.int32))
+        filters = np.zeros((216 * pixel_types, 128), np.float32)
+        filters[:, :121] = rng.normal(size=(216 * pixel_types, 121)).astype(np.float32) * 0.01
+        filters = jnp.asarray(filters)
+        if pixel_types == 4:
+            pt = ((np.arange(h)[:, None] - 5) % 2) * 2 + (np.arange(w)[None, :] - 5) % 2
+        else:
+            pt = np.zeros((h, w), np.int32)
+        idx = jnp.asarray(np.asarray(bkt) * pixel_types + pt)
+        ref = np.asarray(apply_filters_taps(img, idx, filters, 11))
+        out = np.asarray(apply_filters_pallas(img, bkt, filters, pixel_types=pixel_types, ratio=ratio, mxu_passes=passes))
+        d = np.abs(out[6:-6, 6:-6] - ref[6:-6, 6:-6]).max()
+        log(f"kernel correctness pt={pixel_types} passes={passes}: max abs diff {d:.5f}")
+        assert d < 0.05, d
+
+
+def bench_kernel():
+    from raisr_tpu.ops.pallas.filter_kernel import apply_filters_pallas
+
+    rng = np.random.default_rng(0)
+    h, w = 2160, 3840
+    img0 = jnp.asarray(rng.integers(0, 255, size=(h, w)).astype(np.float32))
+    filters = np.zeros((216 * 4, 128), np.float32)
+    filters[:, :121] = rng.normal(size=(216 * 4, 121)).astype(np.float32) * 0.01
+    filters = jnp.asarray(filters)
+    buckets = jnp.asarray(rng.integers(0, 216, size=(h, w)).astype(np.int32))
+
+    N = 10
+    @jax.jit
+    def loop(img):
+        def body(carry, _):
+            r = apply_filters_pallas(carry, buckets, filters, mxu_passes=2)
+            return jnp.abs(r) % 256.0, None
+        c, _ = lax.scan(body, img, None, length=N)
+        return c
+
+    t0 = time.time(); fence(loop(img0)); log(f"kernel 4K compile: {time.time()-t0:.0f}s")
+    for rep in range(2):
+        ax = img0 + float(rep + 1); fence(ax)
+        t0 = time.time(); fence(loop(ax)); dt = (time.time() - t0) / N
+        log(f"kernel 4K filter-apply (chained, incl consumer): {dt*1000:.2f} ms")
+
+
+def bench_pipeline():
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.ops.pipeline import pass_statics, process_plane_y
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, passes=2)
+    model = load_model(folder, cfg)
+    statics = pass_statics(cfg, model, "pallas")
+    filters = tuple(jnp.asarray(b.filters) for b in model.banks)
+    qstr = tuple(jnp.asarray(b.qstr) for b in model.banks)
+    qcoh = tuple(jnp.asarray(b.qcoh) for b in model.banks)
+
+    rng = np.random.default_rng(0)
+    frame0 = jnp.asarray(rng.integers(16, 235, size=(1080, 1920)).astype(np.float32))
+
+    N = 10
+    @jax.jit
+    def loop(frame):
+        def body(carry, _):
+            out = process_plane_y(carry, filters, qstr, qcoh, statics, 2, 1, 2160, 3840)
+            # feed a downscaled slice back to chain iterations
+            return carry + out[0, 0] * 1e-30, None
+        c, _ = lax.scan(body, frame, None, length=N)
+        return c
+
+    t0 = time.time(); fence(loop(frame0)); log(f"pipeline compile: {time.time()-t0:.0f}s")
+    for rep in range(2):
+        ax = frame0 + float(rep + 1); fence(ax)
+        t0 = time.time(); fence(loop(ax)); dt = (time.time() - t0) / N
+        log(f"full 1080p->4K 2-pass frame: {dt*1000:.2f} ms -> {1/dt:.1f} fps")
+
+
+if __name__ == "__main__":
+    log("device:", jax.devices()[0])
+    t_all = time.time()
+    check_kernel_correctness()
+    bench_kernel()
+    bench_pipeline()
+    log(f"total {time.time()-t_all:.0f}s")
