@@ -44,9 +44,18 @@ BLOCK = 16  # sublane-aligned tap rows per patch column (11 data + 5 zero)
 ROWBATCH = 2  # phase-rows batched per matmul (N = ROWBATCH * w2p)
 
 
+def _round_bf16(x):
+    """Round f32 -> bf16 value, keeping f32 dtype. lax.reduce_precision is
+    used instead of a cast round-trip: XLA under
+    --xla_allow_excess_precision may elide f32->bf16->f32 casts, which would
+    silently zero the low-order planes."""
+    return lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+
+
 def _split_hi_lo(x):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi_f32 = _round_bf16(x)
+    hi = hi_f32.astype(jnp.bfloat16)
+    lo = (x - hi_f32).astype(jnp.bfloat16)
     return hi, lo
 
 
@@ -204,7 +213,7 @@ def apply_filters_pallas(
     co = padded[:, 1::2].astype(jnp.bfloat16)
     planes = [ce, co]
     if mxu_passes >= 3:
-        lo = padded - padded.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = padded - _round_bf16(padded)
         planes.append(lo[:, 0::2].astype(jnp.bfloat16))
         planes.append(lo[:, 1::2].astype(jnp.bfloat16))
 
@@ -355,7 +364,7 @@ def _apply_filters_single_phase(
     plane = padded.astype(jnp.bfloat16)
     planes = [plane]
     if mxu_passes >= 3:
-        planes.append((padded - plane.astype(jnp.float32)).astype(jnp.bfloat16))
+        planes.append((padded - _round_bf16(padded)).astype(jnp.bfloat16))
 
     f_pt = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
     f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
