@@ -1,0 +1,72 @@
+/* raisr_tpu C ABI.
+ *
+ * Drop-in shaped like the reference's 5-function handler API
+ * (reference: Library/RaisrHandler.h:15-48, Library/RaisrDefaults.h): a C
+ * consumer (e.g. an FFmpeg filter) drives the TPU engine through these
+ * entry points. The implementation (native/capi.cpp) embeds CPython and
+ * dispatches into the raisr_tpu package.
+ */
+#ifndef RAISR_TPU_H_
+#define RAISR_TPU_H_
+
+#include <stddef.h>
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef enum {
+  RTPU_OK = 0,
+  RTPU_ERROR_BAD_PARAMETER = 1,
+  RTPU_ERROR_OUT_OF_MEMORY = 2,
+  RTPU_ERROR_UNDEFINED = 3,
+} RTPUStatus;
+
+typedef enum {
+  RTPU_BLEND_RANDOMNESS = 1,
+  RTPU_BLEND_COUNT_OF_BITS_CHANGED = 2,
+} RTPUBlendingMode;
+
+typedef enum {
+  RTPU_RANGE_VIDEO = 0,
+  RTPU_RANGE_FULL = 1,
+} RTPURangeType;
+
+/* One plane of 8-bit (uint8) or 10/16-bit (uint16 LE) samples. */
+typedef struct {
+  uint8_t* data;
+  unsigned int width;
+  unsigned int height;
+  unsigned int step; /* row stride in bytes */
+} RTPUPlane;
+
+/* Initialize the engine (mirrors RNLHandler_Init).
+ * model_path: filter folder (filters_2x/..., reference binary format)
+ * ratio: 1.0 < ratio <= 4.0 (2.0 / 1.5 shipped)
+ * bit_depth: 8 | 10 | 16
+ * passes: 1 | 2 ; two_pass_mode: 1 | 2 */
+RTPUStatus RTPU_Init(const char* model_path, float ratio,
+                     unsigned int bit_depth, RTPURangeType range,
+                     unsigned int passes, unsigned int two_pass_mode);
+
+/* Fix frame geometry (mirrors RNLHandler_SetRes; triggers compilation). */
+RTPUStatus RTPU_SetRes(const RTPUPlane* in_y, const RTPUPlane* in_cb,
+                       const RTPUPlane* in_cr, const RTPUPlane* out_y,
+                       const RTPUPlane* out_cb, const RTPUPlane* out_cr);
+
+/* Upscale one frame (mirrors RNLHandler_Process). Cb/Cr may be NULL for
+ * luma-only processing. */
+RTPUStatus RTPU_Process(const RTPUPlane* in_y, const RTPUPlane* in_cb,
+                        const RTPUPlane* in_cr, RTPUPlane* out_y,
+                        RTPUPlane* out_cb, RTPUPlane* out_cr,
+                        RTPUBlendingMode blending);
+
+/* Release the engine (mirrors RNLHandler_Deinit). */
+RTPUStatus RTPU_Deinit(void);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* RAISR_TPU_H_ */

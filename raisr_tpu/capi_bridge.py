@@ -1,0 +1,99 @@
+"""Python side of the C ABI (include/raisr_tpu.h, native/capi.cpp).
+
+The embedded-CPython shim passes raw buffer addresses + geometry; this
+module views them with ctypes/numpy (zero-copy in, one copy out) and drives
+a module-level RaisrEngine — the same one-instance-per-process model as the
+reference's global state (Raisr_globals.h), but contained here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from raisr_tpu.config import RaisrConfig, BlendingMode, RangeType
+from raisr_tpu.engine import RaisrEngine, Frame
+
+_engine: RaisrEngine | None = None
+_cfg: RaisrConfig | None = None
+
+
+def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
+         passes: int, two_pass_mode: int) -> int:
+    global _engine, _cfg
+    try:
+        _cfg = RaisrConfig(
+            filterfolder=model_path,
+            ratio=ratio,
+            bits=bit_depth,
+            range=RangeType(range_type),
+            passes=passes,
+            mode=two_pass_mode,
+        )
+        _engine = RaisrEngine(_cfg)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        print(str(e))
+        return 1
+
+
+def _view(addr: int, height: int, width: int, step: int, bits: int) -> np.ndarray:
+    itemsize = 1 if bits == 8 else 2
+    n_bytes = step * height
+    buf = (ctypes.c_uint8 * n_bytes).from_address(addr)
+    arr = np.frombuffer(buf, dtype=np.uint8).reshape(height, step)
+    if itemsize == 1:
+        return arr[:, :width]
+    return arr.view(np.uint16).reshape(height, step // 2)[:, :width]
+
+
+def process(
+    in_y, in_cb, in_cr, out_y, out_cb, out_cr, blending: int
+) -> int:
+    """Each plane arg: None or (addr, width, height, step)."""
+    if _engine is None:
+        print("[RAISR ERROR] RTPU_Process called before RTPU_Init")
+        return 1
+    try:
+        bits = _cfg.bits
+
+        def rd(p):
+            if p is None:
+                return None
+            addr, w, h, step = p
+            return _view(addr, h, w, step, bits)
+
+        frame = Frame(y=rd(in_y), u=rd(in_cb), v=rd(in_cr))
+        # per-call blending mode, like RNLProcess's argument
+        eng = _engine
+        if BlendingMode(blending) != eng.cfg.blending:
+            import dataclasses
+
+            eng = RaisrEngine(
+                dataclasses.replace(eng.cfg, blending=BlendingMode(blending)),
+                model=eng.model,
+            )
+        result = eng.process(frame)
+
+        def wr(p, plane):
+            if p is None or plane is None:
+                return
+            addr, w, h, step = p
+            dst = _view(addr, h, w, step, bits)
+            np.copyto(dst, plane[:h, :w])
+
+        wr(out_y, result.y)
+        wr(out_cb, result.u)
+        wr(out_cr, result.v)
+        return 0
+    except Exception as e:  # noqa: BLE001
+        print(f"[RAISR ERROR] {e}")
+        return 1
+
+
+def deinit() -> int:
+    global _engine, _cfg
+    _engine = None
+    _cfg = None
+    return 0

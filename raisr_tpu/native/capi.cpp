@@ -1,0 +1,109 @@
+/* C ABI implementation (include/raisr_tpu.h) — embeds CPython and drives
+ * raisr_tpu.capi_bridge. Build: see native/CMakeLists.txt (produces
+ * libraisr_tpu.so for C/C++ consumers, e.g. an FFmpeg filter).
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+
+#include <cstdio>
+#include <mutex>
+
+#include "../../include/raisr_tpu.h"
+
+namespace {
+
+std::mutex g_mutex;
+bool g_we_initialized_python = false;
+PyObject* g_bridge = nullptr;
+
+bool ensure_python() {
+  if (!Py_IsInitialized()) {
+    Py_Initialize();
+    g_we_initialized_python = true;
+  }
+  if (!g_bridge) {
+    g_bridge = PyImport_ImportModule("raisr_tpu.capi_bridge");
+    if (!g_bridge) {
+      PyErr_Print();
+      return false;
+    }
+  }
+  return true;
+}
+
+PyObject* plane_tuple(const RTPUPlane* p) {
+  if (!p || !p->data) Py_RETURN_NONE;
+  return Py_BuildValue("(KIII)", (unsigned long long)(uintptr_t)p->data,
+                       p->width, p->height, p->step);
+}
+
+RTPUStatus call_int(PyObject* result) {
+  if (!result) {
+    PyErr_Print();
+    return RTPU_ERROR_UNDEFINED;
+  }
+  long rc = PyLong_AsLong(result);
+  Py_DECREF(result);
+  return rc == 0 ? RTPU_OK : RTPU_ERROR_BAD_PARAMETER;
+}
+
+}  // namespace
+
+extern "C" {
+
+RTPUStatus RTPU_Init(const char* model_path, float ratio,
+                     unsigned int bit_depth, RTPURangeType range,
+                     unsigned int passes, unsigned int two_pass_mode) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  if (!ensure_python()) return RTPU_ERROR_UNDEFINED;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject* r = PyObject_CallMethod(g_bridge, "init", "sfiiii", model_path,
+                                    (double)ratio, (int)bit_depth, (int)range,
+                                    (int)passes, (int)two_pass_mode);
+  RTPUStatus status = call_int(r);
+  PyGILState_Release(gil);
+  return status;
+}
+
+RTPUStatus RTPU_SetRes(const RTPUPlane*, const RTPUPlane*, const RTPUPlane*,
+                       const RTPUPlane*, const RTPUPlane*, const RTPUPlane*) {
+  /* Geometry is captured by jit specialization on first Process; kept for
+   * call-sequence compatibility with the reference lifecycle. */
+  return RTPU_OK;
+}
+
+RTPUStatus RTPU_Process(const RTPUPlane* in_y, const RTPUPlane* in_cb,
+                        const RTPUPlane* in_cr, RTPUPlane* out_y,
+                        RTPUPlane* out_cb, RTPUPlane* out_cr,
+                        RTPUBlendingMode blending) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  if (!g_bridge) return RTPU_ERROR_BAD_PARAMETER;
+  PyGILState_STATE gil = PyGILState_Ensure();
+  PyObject* args = Py_BuildValue(
+      "(NNNNNNi)", plane_tuple(in_y), plane_tuple(in_cb), plane_tuple(in_cr),
+      plane_tuple(out_y), plane_tuple(out_cb), plane_tuple(out_cr),
+      (int)blending);
+  PyObject* fn = PyObject_GetAttrString(g_bridge, "process");
+  PyObject* r = fn && args ? PyObject_CallObject(fn, args) : nullptr;
+  Py_XDECREF(fn);
+  Py_XDECREF(args);
+  RTPUStatus status = call_int(r);
+  PyGILState_Release(gil);
+  return status;
+}
+
+RTPUStatus RTPU_Deinit(void) {
+  std::lock_guard<std::mutex> lock(g_mutex);
+  if (g_bridge) {
+    PyGILState_STATE gil = PyGILState_Ensure();
+    PyObject* r = PyObject_CallMethod(g_bridge, "deinit", nullptr);
+    Py_XDECREF(r);
+    Py_DECREF(g_bridge);
+    g_bridge = nullptr;
+    PyGILState_Release(gil);
+  }
+  return RTPU_OK;
+}
+
+}  /* extern "C" */

@@ -17,10 +17,13 @@ TPU-native formulation ("the 216-bucket gather as a dense MXU matmul"):
     G^T[bucket[c], c] with a one-hot sublane compare + reduce — the
     216-channel G tensor never leaves VMEM (an XLA conv formulation streams
     ~7 GB/frame of G through HBM).
-  - The overlapping 11-row halo between bands is expressed with two
-    *Blocked* windows per plane (block index maps i and i+1): Element
-    windowing would force the whole output into scoped VMEM and disable
-    the grid pipeline.
+  - The overlapping 11-row halo between bands comes from two Blocked windows
+    per plane (the second over a band-shifted slice); the kernel casts its
+    band to bfloat16 scratch once, then assembles PT from it.
+    (Implementation notes: Element-indexed windows, same-buffer-twice
+    operands, and any non-f32 windowed input all make this XLA/libtpu build
+    stack-allocate the entire pallas output in scoped VMEM -> OOM for 4K
+    outputs. Hence: Blocked windows, distinct slices, f32 plane inputs.)
   - Precision: the patch operand is bfloat16 (exact for 8-bit content);
     filters are split hi + lo bfloat16 (f32 to ~2^-17 relative) -> two MXU
     passes give f32-grade output. For 10/16-bit content a low-order image
@@ -63,20 +66,6 @@ def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _copy_rows(pt_ref, dst_row, plane_a, plane_b, src_row, n_rows, col_lo, col_hi, band: int):
-    """pt_ref[dst_row : dst_row+n_rows] = plane rows [src_row, src_row+n_rows)
-    where rows 0..band-1 live in plane_a and band.. in plane_b."""
-    if src_row + n_rows <= band:
-        pt_ref[dst_row : dst_row + n_rows, :] = plane_a[src_row : src_row + n_rows, col_lo:col_hi]
-    elif src_row >= band:
-        r = src_row - band
-        pt_ref[dst_row : dst_row + n_rows, :] = plane_b[r : r + n_rows, col_lo:col_hi]
-    else:
-        n1 = band - src_row
-        pt_ref[dst_row : dst_row + n1, :] = plane_a[src_row:band, col_lo:col_hi]
-        pt_ref[dst_row + n1 : dst_row + n_rows, :] = plane_b[0 : n_rows - n1, col_lo:col_hi]
-
-
 def _band_kernel(
     *refs,
     tb2: int,
@@ -86,7 +75,8 @@ def _band_kernel(
     band: int,
 ):
     # refs: cea, ceb, coa, cob, [cela, celb, cola, colb,]
-    #       bkt0..3, f0hi, f0lo, ..., f3hi, f3lo, out, pt[, ptl]
+    #       bkt0..3, f0hi, f0lo, ..., f3hi, f3lo,
+    #       out, ce_s, co_s, [cel_s, col_s,] pt[, ptl]
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
     if mxu_passes >= 3:
@@ -94,8 +84,24 @@ def _band_kernel(
     bkts = tuple(next(it) for _ in range(4))
     fs = tuple((next(it), next(it)) for _ in range(4))
     out_ref = next(it)  # [tb2, 4 * w2p] f32 — phase p at lanes [p*w2p, ...)
+    ce_s = next(it)  # [band + 16, plane_w] bf16 scratch
+    co_s = next(it)
+    if mxu_passes >= 3:
+        cel_s = next(it)
+        col_s = next(it)
     pt_ref = next(it)
     ptl_ref = next(it) if mxu_passes >= 3 else None
+
+    # stage this band (+ halo rows from the next band) as bf16
+    ce_s[0:band, :] = cea[...].astype(jnp.bfloat16)
+    ce_s[band : band + 16, :] = ceb[0:16, :].astype(jnp.bfloat16)
+    co_s[0:band, :] = coa[...].astype(jnp.bfloat16)
+    co_s[band : band + 16, :] = cob[0:16, :].astype(jnp.bfloat16)
+    if mxu_passes >= 3:
+        cel_s[0:band, :] = cela[...].astype(jnp.bfloat16)
+        cel_s[band : band + 16, :] = celb[0:16, :].astype(jnp.bfloat16)
+        col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
+        col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
 
     n = ROWBATCH * w2p
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
@@ -113,30 +119,21 @@ def _band_kernel(
         for kb in range(0, tb2, ROWBATCH):
             for b in range(ROWBATCH):
                 k = kb + b
+                r = 2 * k + r0
                 for j in range(patch_size):
                     parity = (c0 + j + 1) % 2
                     off = (c0 + j + 1) // 2
-                    pa, pb = (cea, ceb) if parity == 0 else (coa, cob)
-                    _copy_rows(
-                        pt_ref.at[:, b * w2p : (b + 1) * w2p],
-                        j * BLOCK,
-                        pa, pb,
-                        2 * k + r0,
-                        patch_size,
-                        off, off + w2p,
-                        band,
-                    )
+                    plane = ce_s if parity == 0 else co_s
+                    pt_ref[
+                        j * BLOCK : j * BLOCK + patch_size,
+                        b * w2p : (b + 1) * w2p,
+                    ] = plane[r : r + patch_size, off : off + w2p]
                     if mxu_passes >= 3:
-                        pla, plb = (cela, celb) if parity == 0 else (cola, colb)
-                        _copy_rows(
-                            ptl_ref.at[:, b * w2p : (b + 1) * w2p],
-                            j * BLOCK,
-                            pla, plb,
-                            2 * k + r0,
-                            patch_size,
-                            off, off + w2p,
-                            band,
-                        )
+                        planel = cel_s if parity == 0 else col_s
+                        ptl_ref[
+                            j * BLOCK : j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = planel[r : r + patch_size, off : off + w2p]
 
             pt = pt_ref[...]
             gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
@@ -203,19 +200,17 @@ def apply_filters_pallas(
 
     n_tiles = h2p // tb2
     top = m  # patch top of band i's first output row = padded row band*i
-    # rows required: (n_tiles + 1) * band for the i+1 window
+    # rows required: (n_tiles + 1) * band for the band-shifted window
     bottom = (n_tiles + 1) * band - (h + top)
     left = m + 1
     right = 2 * plane_w - w - left
 
     padded = jnp.pad(cheap, ((top, bottom), (left, right)))
-    ce = padded[:, 0::2].astype(jnp.bfloat16)
-    co = padded[:, 1::2].astype(jnp.bfloat16)
-    planes = [ce, co]
+    planes = [padded[:, 0::2], padded[:, 1::2]]  # f32 (see module docstring)
     if mxu_passes >= 3:
         lo = padded - _round_bf16(padded)
-        planes.append(lo[:, 0::2].astype(jnp.bfloat16))
-        planes.append(lo[:, 1::2].astype(jnp.bfloat16))
+        planes.append(lo[:, 0::2])
+        planes.append(lo[:, 1::2])
 
     # per-phase filters^T with taps at t = j*BLOCK + i: [NBP, K]
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
@@ -231,10 +226,6 @@ def apply_filters_pallas(
         b = buckets[r0::2, c0::2]
         bkts.append(jnp.pad(b, ((0, h2p - b.shape[0]), (0, w2p - b.shape[1]))))
 
-    # Two adjacent Blocked windows per plane give the 11-row overlap. The
-    # second window is a band-shifted *slice* (a distinct buffer): passing
-    # the same buffer twice makes XLA stack-allocate the whole pallas output
-    # in scoped VMEM (33 MB > 16 MB limit) instead of windowing it.
     plane_spec = pl.BlockSpec((band, plane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
     bkt_spec = pl.BlockSpec((tb2, w2p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     f_spec = pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -254,7 +245,9 @@ def apply_filters_pallas(
         mxu_passes=mxu_passes,
         band=band,
     )
-    scratch = [pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16)]
+    n_stage = 2 if mxu_passes < 3 else 4
+    scratch = [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
+    scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
     if mxu_passes >= 3:
         scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
     out = pl.pallas_call(
@@ -299,8 +292,17 @@ def _single_kernel(
     bkt_ref = next(it)
     fhi_ref, flo_ref = next(it), next(it)
     out_ref = next(it)
+    p_s = next(it)  # [band + 16, plane_w] bf16 staging
+    if mxu_passes >= 3:
+        pl_s = next(it)
     pt_ref = next(it)
     ptl_ref = next(it) if mxu_passes >= 3 else None
+
+    p_s[0:band, :] = pa[...].astype(jnp.bfloat16)
+    p_s[band : band + 16, :] = pb[0:16, :].astype(jnp.bfloat16)
+    if mxu_passes >= 3:
+        pl_s[0:band, :] = pla[...].astype(jnp.bfloat16)
+        pl_s[band : band + 16, :] = plb[0:16, :].astype(jnp.bfloat16)
 
     n = ROWBATCH * wp
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
@@ -316,15 +318,13 @@ def _single_kernel(
             k = kb + b
             for j in range(patch_size):
                 # padded col of tap j for output col c: c + j + 1
-                _copy_rows(
-                    pt_ref.at[:, b * wp : (b + 1) * wp],
-                    j * BLOCK, pa, pb, k, patch_size, j + 1, j + 1 + wp, band,
-                )
+                pt_ref[
+                    j * BLOCK : j * BLOCK + patch_size, b * wp : (b + 1) * wp
+                ] = p_s[k : k + patch_size, j + 1 : j + 1 + wp]
                 if mxu_passes >= 3:
-                    _copy_rows(
-                        ptl_ref.at[:, b * wp : (b + 1) * wp],
-                        j * BLOCK, pla, plb, k, patch_size, j + 1, j + 1 + wp, band,
-                    )
+                    ptl_ref[
+                        j * BLOCK : j * BLOCK + patch_size, b * wp : (b + 1) * wp
+                    ] = pl_s[k : k + patch_size, j + 1 : j + 1 + wp]
         pt = pt_ref[...]
         gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
         if mxu_passes >= 2:
@@ -361,10 +361,9 @@ def _apply_filters_single_phase(
     right = plane_w - w - left
 
     padded = jnp.pad(cheap, ((top, bottom), (left, right)))
-    plane = padded.astype(jnp.bfloat16)
-    planes = [plane]
+    planes = [padded]
     if mxu_passes >= 3:
-        planes.append((padded - _round_bf16(padded)).astype(jnp.bfloat16))
+        planes.append(padded - _round_bf16(padded))
 
     f_pt = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
     f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
@@ -377,7 +376,6 @@ def _apply_filters_single_phase(
     plane_specs = []
     plane_args = []
     for pln in planes:
-        # band-shifted slice = distinct buffer (see the 4-phase variant)
         plane_specs.extend([plane_spec, plane_spec])
         plane_args.extend([pln[: n_tiles * band], pln[band:]])
 
@@ -385,7 +383,9 @@ def _apply_filters_single_phase(
         _single_kernel, tbr=tbr, wp=wp, patch_size=patch_size,
         mxu_passes=mxu_passes, band=band,
     )
-    scratch = [pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16)]
+    n_stage = 1 if mxu_passes < 3 else 2
+    scratch = [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
+    scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
     if mxu_passes >= 3:
         scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
     out = pl.pallas_call(
