@@ -79,13 +79,19 @@ def cmd_upscale(args) -> int:
     out_h, out_w = cfg.output_size(in_fmt.height, in_fmt.width)
     writer = video.open_writer(args.output, in_fmt.scaled(out_h, out_w))
 
+    from raisr_tpu.stream import StreamProcessor
+    import itertools
+
+    stream = StreamProcessor(engine, depth=args.pipeline_depth)
+    frames = iter(reader)
+    if args.frames:
+        frames = itertools.islice(frames, args.frames)
+
     count = 0
     start = time.perf_counter()
-    for frame in reader:
-        writer.write(engine.process(frame))
+    for out in stream.process(frames):
+        writer.write(out)
         count += 1
-        if args.frames and count >= args.frames:
-            break
     elapsed = time.perf_counter() - start
     reader.close()
     writer.close()
@@ -164,6 +170,8 @@ def main(argv=None) -> int:
     p_up.add_argument("-i", "--input", required=True)
     p_up.add_argument("-o", "--output", required=True)
     p_up.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    p_up.add_argument("--pipeline-depth", type=int, default=2,
+                      help="frames kept in flight on the device")
     p_up.add_argument("--size", default=None, help="WxH for raw .yuv input")
     p_up.add_argument(
         "--format", default="420", choices=["420", "422", "444", "nv12", "mono"]
