@@ -42,25 +42,24 @@ def main():
 
     n_iters = 10 if jax.default_backend() != "cpu" else 2
 
-    # The whole timing loop runs on-device (lax.scan chaining iterations) and
-    # is fenced by a host value fetch — remote-execution backends may treat
-    # block_until_ready as a no-op and cache identical dispatches.
-    @jax.jit
-    def timed(y0):
-        def body(carry, _):
-            out = process_plane_y(
-                y0 + carry, filters, qstr, qcoh, statics, cfg.passes,
-                cfg.two_pass_mode, out_h, out_w,
-            )
-            return out[0, 0] * 1e-30 + 1.0, None
-        c, _ = lax.scan(body, jnp.float32(0), None, length=n_iters)
-        return c
-
-    float(timed(frame))  # compile + warm
-    fresh = frame + 1.0
-    float(jnp.sum(fresh))  # drain queue
+    # Timing notes: remote-execution backends may no-op block_until_ready and
+    # cache identical dispatches, so every iteration gets a distinct input
+    # and the loop is fenced by a host fetch that depends on all outputs.
+    # (scan-wrapping is avoided: while-loop bodies stack-allocate pallas
+    # outputs in VMEM on this toolchain.)
+    fn = jax.jit(
+        lambda y: process_plane_y(
+            y, filters, qstr, qcoh, statics, cfg.passes, cfg.two_pass_mode,
+            out_h, out_w,
+        )
+    )
+    float(jnp.sum(fn(frame)))  # compile + warm
+    base = frame + 100.0
+    float(jnp.sum(base))  # drain queue
+    offs = [jnp.float32(i) for i in range(n_iters)]
     start = time.perf_counter()
-    float(timed(fresh))
+    acc = [fn(base + offs[i])[0, 0] for i in range(n_iters)]
+    float(sum(acc))  # forces all executions
     elapsed = time.perf_counter() - start
     fps = n_iters / elapsed
 

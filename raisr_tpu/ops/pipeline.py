@@ -51,7 +51,10 @@ class PassStatics:
     max_val: int
     blending: int
     exact_edges: bool
-    backend: str  # "taps" | "conv"
+    backend: str  # "taps" | "conv" | "pallas"
+    # MXU passes for the fused kernel: 1 = pure bf16 (the AVX512-FP16
+    # analogue), 2 = f32-grade for 8-bit content, 3 = f32-grade for 10/16-bit
+    mxu_passes: int = 2
 
     @property
     def patch_margin(self) -> int:
@@ -115,7 +118,7 @@ def raisr_pass(
             pixel_types=s.pixel_types,
             patch_margin=s.patch_margin,
             ratio=s.ratio_int,
-            mxu_passes=2 if s.bits == 8 else 3,
+            mxu_passes=s.mxu_passes,
         )
     elif s.backend == "conv":
         raw = apply_filters_conv(
@@ -168,6 +171,10 @@ def raisr_pass(
 
 
 def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStatics:
+    if cfg.dtype == "bfloat16":
+        mxu_passes = 1  # fp16-class path (reference AVX512FP16 analogue)
+    else:
+        mxu_passes = 2 if cfg.bits == 8 else 3
     return PassStatics(
         qangle=model.qangle,
         qstrength=model.qstrength,
@@ -182,6 +189,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         blending=int(cfg.blending),
         exact_edges=cfg.exact_edges,
         backend=backend,
+        mxu_passes=mxu_passes,
     )
 
 
