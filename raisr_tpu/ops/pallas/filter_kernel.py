@@ -226,10 +226,21 @@ def apply_filters_pallas(
         b = buckets[r0::2, c0::2]
         bkts.append(jnp.pad(b, ((0, h2p - b.shape[0]), (0, w2p - b.shape[1]))))
 
-    plane_spec = pl.BlockSpec((band, plane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    bkt_spec = pl.BlockSpec((tb2, w2p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # Canonical leading-dim blocking: every windowed operand is reshaped to
+    # [n_tiles, rows, cols] and blocked (None, rows, cols) on dim 0 — 2-D
+    # advancing windows make this XLA/libtpu build stack-allocate the whole
+    # pallas output in scoped VMEM. The band halo comes from a second,
+    # band-shifted 3-D view of each plane.
+    plane_spec = pl.BlockSpec(
+        (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    bkt_spec = pl.BlockSpec(
+        (None, tb2, w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     f_spec = pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tb2, 4 * w2p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (None, tb2, 4 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
 
     kernel = functools.partial(
         _band_kernel,
@@ -245,36 +256,25 @@ def apply_filters_pallas(
     if mxu_passes >= 3:
         scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
 
-    # This XLA/libtpu build stack-allocates pallas outputs larger than the
-    # 16 MB scoped-VMEM limit; keep each call's output under ~12 MB by
-    # splitting the grid into row-chunks (plane inputs are sliced per chunk,
-    # so total HBM traffic is unchanged).
-    max_out = 12 * 1024 * 1024
-    out_bytes = h2p * 4 * w2p * 4
-    n_chunks = max(1, -(-out_bytes // max_out))
-    tiles_per_chunk = -(-n_tiles // n_chunks)
-    chunks = []
-    for c0_tile in range(0, n_tiles, tiles_per_chunk):
-        ct = min(tiles_per_chunk, n_tiles - c0_tile)
-        row0 = c0_tile * band  # first padded plane row of this chunk
-        plane_specs = []
-        plane_args = []
-        for pln in planes:
-            plane_specs.extend([plane_spec, plane_spec])
-            plane_args.append(pln[row0 : row0 + ct * band])
-            plane_args.append(pln[row0 + band : row0 + (ct + 1) * band])
-        bkt_args = [b[c0_tile * tb2 : (c0_tile + ct) * tb2] for b in bkts]
-        chunk_out = pl.pallas_call(
-            kernel,
-            grid=(ct,),
-            in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 8,
-            out_specs=out_spec,
-            out_shape=jax.ShapeDtypeStruct((ct * tb2, 4 * w2p), jnp.float32),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(*plane_args, *bkt_args, *f_phase)
-        chunks.append(chunk_out)
-    out = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.append(pln[: n_tiles * band].reshape(n_tiles, band, plane_w))
+        plane_args.append(
+            pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
+        )
+    bkt_args = [b.reshape(n_tiles, tb2, w2p) for b in bkts]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 8,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tb2, 4 * w2p), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, *bkt_args, *f_phase)
+    out = out.reshape(h2p, 4 * w2p)
 
     outs = [
         out[: (h - r0 + 1) // 2, p * w2p : p * w2p + (w - c0 + 1) // 2]
@@ -388,7 +388,10 @@ def _apply_filters_single_phase(
 
     bkt = jnp.pad(buckets, ((0, hp - h), (0, wp - w)))
 
-    plane_spec = pl.BlockSpec((band, plane_w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # leading-dim blocking (see the 4-phase variant)
+    plane_spec = pl.BlockSpec(
+        (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     kernel = functools.partial(
         _single_kernel, tbr=tbr, wp=wp, patch_size=patch_size,
         mxu_passes=mxu_passes, band=band,
@@ -399,34 +402,28 @@ def _apply_filters_single_phase(
     if mxu_passes >= 3:
         scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
 
-    # keep each call's output under ~12 MB (see the 4-phase variant)
-    max_out = 12 * 1024 * 1024
-    n_chunks = max(1, -(-(hp * wp * 4) // max_out))
-    tiles_per_chunk = -(-n_tiles // n_chunks)
-    chunks = []
-    for c0_tile in range(0, n_tiles, tiles_per_chunk):
-        ct = min(tiles_per_chunk, n_tiles - c0_tile)
-        row0 = c0_tile * band
-        plane_specs = []
-        plane_args = []
-        for pln in planes:
-            plane_specs.extend([plane_spec, plane_spec])
-            plane_args.append(pln[row0 : row0 + ct * band])
-            plane_args.append(pln[row0 + band : row0 + (ct + 1) * band])
-        chunk_out = pl.pallas_call(
-            kernel,
-            grid=(ct,),
-            in_specs=plane_specs
-            + [
-                pl.BlockSpec((tbr, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((tbr, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ct * tbr, wp), jnp.float32),
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(*plane_args, bkt[c0_tile * tbr : (c0_tile + ct) * tbr], fhi, flo)
-        chunks.append(chunk_out)
-    out = jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
-    return out[:h, :w]
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.append(pln[: n_tiles * band].reshape(n_tiles, band, plane_w))
+        plane_args.append(
+            pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs
+        + [
+            pl.BlockSpec((None, tbr, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, tbr, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tbr, wp), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, bkt.reshape(n_tiles, tbr, wp), fhi, flo)
+    return out.reshape(hp, wp)[:h, :w]
