@@ -47,7 +47,9 @@ def main():
     # and the loop is fenced by a host fetch that depends on all outputs.
     # (scan-wrapping is avoided: while-loop bodies stack-allocate pallas
     # outputs in VMEM on this toolchain.)
-    fn = jax.jit(
+    from raisr_tpu.ops.jit_utils import tpu_jit
+
+    fn = tpu_jit(
         lambda y: process_plane_y(
             y, filters, qstr, qcoh, statics, cfg.passes, cfg.two_pass_mode,
             out_h, out_w,

@@ -1,0 +1,33 @@
+"""jit helpers.
+
+The fused pallas kernel's unrolled loop gets software-pipelined by Mosaic,
+which pins one [224, N] f32 MXU result per unrolled iteration; the XLA
+scoped-VMEM default (16 MB) then rejects 2K+ frames. Physical VMEM is much
+larger — raising xla_tpu_scoped_vmem_limit_kib on the *top-level* jit is the
+supported escape hatch (the option must be set on whichever jit ultimately
+compiles the pallas call).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+
+SCOPED_VMEM_KIB = 64 * 1024
+
+def compiler_options() -> dict | None:
+    """Compile options for top-level jits wrapping the fused kernel."""
+    if jax.default_backend() == "cpu":
+        return None  # CPU XLA rejects TPU-only options
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
+
+
+def tpu_jit(fn=None, **jit_kwargs):
+    """jax.jit with the TPU scoped-VMEM compile option applied."""
+    if fn is None:
+        return functools.partial(tpu_jit, **jit_kwargs)
+    opts = compiler_options()
+    if opts is not None:
+        jit_kwargs.setdefault("compiler_options", opts)
+    return jax.jit(fn, **jit_kwargs)

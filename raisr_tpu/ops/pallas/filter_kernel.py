@@ -75,22 +75,20 @@ def _band_kernel(
     band: int,
 ):
     # refs: cea, ceb, coa, cob, [cela, celb, cola, colb,]
-    #       bkt0..3, f0hi, f0lo, ..., f3hi, f3lo,
-    #       out, ce_s, co_s, [cel_s, col_s,] pt[, ptl]
+    #       bkt0..3, f0..f3 (K-packed), out, ce_s, co_s, [cel_s, col_s,] pt
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
     if mxu_passes >= 3:
         cela, celb, cola, colb = (next(it) for _ in range(4))
     bkts = tuple(next(it) for _ in range(4))
-    fs = tuple((next(it), next(it)) for _ in range(4))
+    fs = tuple(next(it) for _ in range(4))
     out_ref = next(it)  # [tb2, 4 * w2p] f32 — phase p at lanes [p*w2p, ...)
     ce_s = next(it)  # [band + 16, plane_w] bf16 scratch
     co_s = next(it)
     if mxu_passes >= 3:
         cel_s = next(it)
         col_s = next(it)
-    pt_ref = next(it)
-    ptl_ref = next(it) if mxu_passes >= 3 else None
+    pt_ref = next(it)  # [mxu_passes * K, n] bf16 — K-packed patch matrix
 
     # stage this band (+ halo rows from the next band) as bf16
     ce_s[0:band, :] = cea[...].astype(jnp.bfloat16)
@@ -104,18 +102,20 @@ def _band_kernel(
         col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
 
     n = ROWBATCH * w2p
+    k_dim = patch_size * BLOCK
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
 
     # zero tap-pad rows once (0 * garbage could be NaN)
     zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
-    for j in range(patch_size):
-        pt_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
-        if mxu_passes >= 3:
-            ptl_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+    for blk in range(mxu_passes):
+        for j in range(patch_size):
+            pt_ref[
+                blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
+            ] = zpad
 
     for p, (r0, c0) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
-        fhi_ref, flo_ref = fs[p]
+        f_ref = fs[p]
         for kb in range(0, tb2, ROWBATCH):
             for b in range(ROWBATCH):
                 k = kb + b
@@ -124,25 +124,30 @@ def _band_kernel(
                     parity = (c0 + j + 1) % 2
                     off = (c0 + j + 1) // 2
                     plane = ce_s if parity == 0 else co_s
+                    block = plane[r : r + patch_size, off : off + w2p]
                     pt_ref[
                         j * BLOCK : j * BLOCK + patch_size,
                         b * w2p : (b + 1) * w2p,
-                    ] = plane[r : r + patch_size, off : off + w2p]
+                    ] = block
+                    if mxu_passes >= 2:
+                        # hi/lo filter passes ride ONE K-packed matmul
+                        # (separate dots keep two [NBP, n] f32 temporaries
+                        # live per unrolled iteration and overflow scoped
+                        # VMEM); the patch block is written to both K slots
+                        pt_ref[
+                            k_dim + j * BLOCK : k_dim + j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = block
                     if mxu_passes >= 3:
                         planel = cel_s if parity == 0 else col_s
-                        ptl_ref[
-                            j * BLOCK : j * BLOCK + patch_size,
+                        pt_ref[
+                            2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
                             b * w2p : (b + 1) * w2p,
                         ] = planel[r : r + patch_size, off : off + w2p]
 
-            pt = pt_ref[...]
-            gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
-            if mxu_passes >= 2:
-                gt = gt + lax.dot_general(flo_ref[...], pt, dims, preferred_element_type=jnp.float32)
-            if mxu_passes >= 3:
-                gt = gt + lax.dot_general(
-                    fhi_ref[...], ptl_ref[...], dims, preferred_element_type=jnp.float32
-                )
+            gt = lax.dot_general(
+                f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+            )
 
             idx = jnp.concatenate(
                 [bkts[p][kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
@@ -212,14 +217,17 @@ def apply_filters_pallas(
         planes.append(lo[:, 0::2])
         planes.append(lo[:, 1::2])
 
-    # per-phase filters^T with taps at t = j*BLOCK + i: [NBP, K]
+    # per-phase filters^T with taps at t = j*BLOCK + i, K-packed per
+    # precision pass: [fhi | flo | fhi] matching pt [hi | hi | lo]
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
     f_phase = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
         fp = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
         fp = fp.at[:NB, :, :patch_size].set(jnp.transpose(f_all[:, pt_idx], (0, 2, 1)))
-        f_phase.extend(_split_hi_lo(fp.reshape(NBP, k_dim)))
+        fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))
+        parts = [fhi, flo, fhi][:mxu_passes]
+        f_phase.append(jnp.concatenate(parts, axis=1))
 
     bkts = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
@@ -237,7 +245,9 @@ def apply_filters_pallas(
     bkt_spec = pl.BlockSpec(
         (None, tb2, w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    f_spec = pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    f_spec = pl.BlockSpec(
+        (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     out_spec = pl.BlockSpec(
         (None, tb2, 4 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -252,9 +262,7 @@ def apply_filters_pallas(
     )
     n_stage = 2 if mxu_passes < 3 else 4
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
-    scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
-    if mxu_passes >= 3:
-        scratch.append(pltpu.VMEM((k_dim, ROWBATCH * w2p), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, ROWBATCH * w2p), jnp.bfloat16))
 
     plane_specs = []
     plane_args = []
@@ -268,7 +276,7 @@ def apply_filters_pallas(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 8,
+        in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 4,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, tb2, 4 * w2p), jnp.float32),
         scratch_shapes=scratch,
@@ -306,13 +314,12 @@ def _single_kernel(
     if mxu_passes >= 3:
         pla, plb = next(it), next(it)
     bkt_ref = next(it)
-    fhi_ref, flo_ref = next(it), next(it)
+    f_ref = next(it)  # [NBP, mxu_passes * K] packed
     out_ref = next(it)
     p_s = next(it)  # [band + 16, plane_w] bf16 staging
     if mxu_passes >= 3:
         pl_s = next(it)
-    pt_ref = next(it)
-    ptl_ref = next(it) if mxu_passes >= 3 else None
+    pt_ref = next(it)  # [mxu_passes * K, n] bf16 K-packed
 
     p_s[0:band, :] = pa[...].astype(jnp.bfloat16)
     p_s[band : band + 16, :] = pb[0:16, :].astype(jnp.bfloat16)
@@ -321,13 +328,14 @@ def _single_kernel(
         pl_s[band : band + 16, :] = plb[0:16, :].astype(jnp.bfloat16)
 
     n = ROWBATCH * wp
+    k_dim = patch_size * BLOCK
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
     zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
     for j in range(patch_size):
         pt_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
         if mxu_passes >= 3:
-            ptl_ref[j * BLOCK + patch_size : (j + 1) * BLOCK, :] = zpad
+            pt_ref[2 * k_dim + j * BLOCK + patch_size : 2 * k_dim + (j + 1) * BLOCK, :] = zpad
 
     for kb in range(0, tbr, ROWBATCH):
         for b in range(ROWBATCH):
@@ -338,15 +346,15 @@ def _single_kernel(
                     j * BLOCK : j * BLOCK + patch_size, b * wp : (b + 1) * wp
                 ] = p_s[k : k + patch_size, j + 1 : j + 1 + wp]
                 if mxu_passes >= 3:
-                    ptl_ref[
-                        j * BLOCK : j * BLOCK + patch_size, b * wp : (b + 1) * wp
+                    pt_ref[
+                        2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
+                        b * wp : (b + 1) * wp,
                     ] = pl_s[k : k + patch_size, j + 1 : j + 1 + wp]
-        pt = pt_ref[...]
-        gt = lax.dot_general(fhi_ref[...], pt, dims, preferred_element_type=jnp.float32)
         if mxu_passes >= 2:
-            gt = gt + lax.dot_general(flo_ref[...], pt, dims, preferred_element_type=jnp.float32)
-        if mxu_passes >= 3:
-            gt = gt + lax.dot_general(fhi_ref[...], ptl_ref[...], dims, preferred_element_type=jnp.float32)
+            pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
+        gt = lax.dot_general(
+            f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+        )
         idx = jnp.concatenate(
             [bkt_ref[kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
         )
@@ -385,6 +393,7 @@ def _apply_filters_single_phase(
     f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
     f_pt = f_pt.at[:NB, :, :patch_size].set(jnp.transpose(f_all, (0, 2, 1)))
     fhi, flo = _split_hi_lo(f_pt.reshape(NBP, k_dim))
+    f_packed = jnp.concatenate([fhi, flo, fhi][:mxu_passes], axis=1)
 
     bkt = jnp.pad(buckets, ((0, hp - h), (0, wp - w)))
 
@@ -398,9 +407,7 @@ def _apply_filters_single_phase(
     )
     n_stage = 1 if mxu_passes < 3 else 2
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
-    scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
-    if mxu_passes >= 3:
-        scratch.append(pltpu.VMEM((k_dim, ROWBATCH * wp), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, ROWBATCH * wp), jnp.bfloat16))
 
     plane_specs = []
     plane_args = []
@@ -416,8 +423,9 @@ def _apply_filters_single_phase(
         in_specs=plane_specs
         + [
             pl.BlockSpec((None, tbr, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NBP, k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
             (None, tbr, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -425,5 +433,5 @@ def _apply_filters_single_phase(
         out_shape=jax.ShapeDtypeStruct((n_tiles, tbr, wp), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*plane_args, bkt.reshape(n_tiles, tbr, wp), fhi, flo)
+    )(*plane_args, bkt.reshape(n_tiles, tbr, wp), f_packed)
     return out.reshape(hp, wp)[:h, :w]

@@ -193,8 +193,11 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
     )
 
 
+from raisr_tpu.ops.jit_utils import tpu_jit
+
+
 @functools.partial(
-    jax.jit, static_argnames=("statics", "passes", "two_pass_mode", "out_h", "out_w")
+    tpu_jit, static_argnames=("statics", "passes", "two_pass_mode", "out_h", "out_w")
 )
 def process_plane_y(
     lr: jnp.ndarray,

@@ -59,7 +59,8 @@ def bench_kernel():
     # NOTE: while-loop (scan) bodies make XLA stack-allocate pallas outputs
     # in VMEM -> OOM; bench with sequential async dispatches instead.
     N = 10
-    fn = jax.jit(lambda i: apply_filters_pallas(i, buckets, filters, mxu_passes=2))
+    from raisr_tpu.ops.jit_utils import tpu_jit
+    fn = tpu_jit(lambda i: apply_filters_pallas(i, buckets, filters, mxu_passes=2))
     offs = [jnp.float32(i) for i in range(N + 1)]
     t0 = time.time(); fence(fn(img0)); log(f"kernel 4K compile: {time.time()-t0:.0f}s")
     for rep in range(2):
@@ -90,7 +91,8 @@ def bench_pipeline():
     frame0 = jnp.asarray(rng.integers(16, 235, size=(1080, 1920)).astype(np.float32))
 
     N = 10
-    fn = jax.jit(
+    from raisr_tpu.ops.jit_utils import tpu_jit
+    fn = tpu_jit(
         lambda y: process_plane_y(y, filters, qstr, qcoh, statics, 2, 1, 2160, 3840)
     )
     offs = [jnp.float32(i) for i in range(N + 1)]
