@@ -47,14 +47,11 @@ def main():
     # and the loop is fenced by a host fetch that depends on all outputs.
     # (scan-wrapping is avoided: while-loop bodies stack-allocate pallas
     # outputs in VMEM on this toolchain.)
-    from raisr_tpu.ops.jit_utils import tpu_jit
-
-    fn = tpu_jit(
-        lambda y: process_plane_y(
+    def fn(y):
+        return process_plane_y(
             y, filters, qstr, qcoh, statics, cfg.passes, cfg.two_pass_mode,
             out_h, out_w,
         )
-    )
     float(jnp.sum(fn(frame)))  # compile + warm
     base = frame + 100.0
     float(jnp.sum(base))  # drain queue

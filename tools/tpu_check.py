@@ -91,10 +91,8 @@ def bench_pipeline():
     frame0 = jnp.asarray(rng.integers(16, 235, size=(1080, 1920)).astype(np.float32))
 
     N = 10
-    from raisr_tpu.ops.jit_utils import tpu_jit
-    fn = tpu_jit(
-        lambda y: process_plane_y(y, filters, qstr, qcoh, statics, 2, 1, 2160, 3840)
-    )
+    def fn(y):
+        return process_plane_y(y, filters, qstr, qcoh, statics, 2, 1, 2160, 3840)
     offs = [jnp.float32(i) for i in range(N + 1)]
     t0 = time.time(); fence(fn(frame0)); log(f"pipeline compile: {time.time()-t0:.0f}s")
     for rep in range(2):
@@ -108,9 +106,22 @@ def bench_pipeline():
         log(f"full 1080p->4K 2-pass frame: {dt*1000:.2f} ms -> {1/dt:.1f} fps")
 
 
+def bench_dispatch_overhead():
+    # per-dispatch + fence overhead of the remote tunnel, to subtract
+    noop = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones((8, 128), jnp.float32)
+    fence(noop(x))
+    N = 20
+    t0 = time.time()
+    acc = [noop(x + jnp.float32(i))[0, 0] for i in range(N)]
+    float(sum(acc))
+    log(f"dispatch overhead: {(time.time()-t0)/N*1000:.2f} ms/call")
+
+
 if __name__ == "__main__":
     log("device:", jax.devices()[0])
     t_all = time.time()
+    bench_dispatch_overhead()
     check_kernel_correctness()
     bench_kernel()
     bench_pipeline()
