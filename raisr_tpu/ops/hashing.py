@@ -43,7 +43,7 @@ def structure_tensor(
     """Weighted Gram maps a = sum w*gx^2, b = sum w*gx*gy, d = sum w*gy^2 over
     the centered (patch x patch) window (computeGTWG accumulation,
     Raisr_AVX256.cpp:295-313). SAME zero padding; border values are masked out
-    downstream."""
+    downstream. Uses the exact (non-separable) literal weight table."""
     maps = jnp.stack([gx * gx, gx * gy, gy * gy])[:, None]  # [3,1,H,W]
     kernel = weights[None, None].astype(maps.dtype)  # [1,1,p,p]
     out = lax.conv_general_dilated(
@@ -57,6 +57,43 @@ def structure_tensor(
         precision=lax.Precision.HIGHEST,
     )
     return out[0, 0], out[1, 0], out[2, 0]
+
+
+def _shift2d(img: jnp.ndarray, di: int, dj: int) -> jnp.ndarray:
+    h, w = img.shape
+    padded = lax.pad(
+        img, jnp.float32(0), ((max(di, 0), max(-di, 0), 0), (max(dj, 0), max(-dj, 0), 0))
+    )
+    return lax.slice(
+        padded, (max(-di, 0), max(-dj, 0)), (max(-di, 0) + h, max(-dj, 0) + w)
+    )
+
+
+def structure_tensor_separable(
+    gx: jnp.ndarray, gy: jnp.ndarray, k1d, nf: float
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Separable structure tensor: 2 x patch_size shift-FMAs per map instead
+    of a single-channel 2D conv, which XLA lowers disastrously on TPU (no
+    MXU mapping for 1-in/1-out channels: the fused pipeline went from 14.8 s
+    to real-time on this path alone).
+
+    Uses the sigma=2 kernel from createGaussianKernel (Raisr.cpp:141-185) —
+    the source of the reference's 6-digit literal table; results differ from
+    the literal-table conv only in the ~6th digit (exact-tie bucket flips).
+    """
+    m = len(k1d) // 2
+    outs = []
+    for mp in (gx * gx, gx * gy, gy * gy):
+        v = None
+        for i, kv in enumerate(k1d):
+            t = _shift2d(mp, m - i, 0) * float(kv)
+            v = t if v is None else v + t
+        out = None
+        for j, kv in enumerate(k1d):
+            t = _shift2d(v, 0, m - j) * float(kv)
+            out = t if out is None else out + t
+        outs.append(out * nf)
+    return outs[0], outs[1], outs[2]
 
 
 def atan2_approx(y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

@@ -98,10 +98,18 @@ def raisr_pass(
     s = statics
     lm = s.loop_margin
 
-    weights = gaussian_weights(s.patch_size, s.bits)
-
     gx, gy = hashing.gradients(cheap)
-    a, b, d = hashing.structure_tensor(gx, gy, jnp.asarray(weights))
+    if s.backend == "pallas":
+        # single-channel 2D convs lower catastrophically on TPU; separable
+        # shift-FMA form (same up to the literal table's 6-digit printing)
+        from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+
+        a, b, d = hashing.structure_tensor_separable(
+            gx, gy, gaussian_kernel_1d(s.patch_size), normalization_factor(s.bits)
+        )
+    else:
+        weights = gaussian_weights(s.patch_size, s.bits)
+        a, b, d = hashing.structure_tensor(gx, gy, jnp.asarray(weights))
     buckets = hashing.hash_buckets(
         a, b, d, qstr, qcoh, s.qangle, s.qstrength, s.qcoherence
     )
