@@ -196,12 +196,22 @@ def _raisr_pass_stripe(
     else:
         ptype = jnp.zeros((h_ext, w), jnp.int32)
 
-    if s.backend == "conv" and not s.use_pixel_type:
+    if s.backend == "pallas":
+        # stripe starts are even (core rows and halo are even), so local
+        # pixel phases equal global phases and the fused kernel applies
+        from raisr_tpu.ops.pallas.filter_kernel import apply_filters_pallas
+
+        raw = apply_filters_pallas(
+            cheap_ext, buckets, filters,
+            patch_size=s.patch_size, pixel_types=s.pixel_types,
+            patch_margin=s.patch_margin, ratio=s.ratio_int,
+            mxu_passes=s.mxu_passes,
+        )
+    elif s.backend == "conv" and not s.use_pixel_type:
         raw = apply_filters_conv(cheap_ext, buckets, filters, s.patch_size, 1, s.patch_margin, s.ratio_int)
     else:
         # phase-strided conv needs static phase alignment; stripes have
-        # device-dependent phase, so use the taps formulation here. (The
-        # Pallas kernel handles stripes natively.)
+        # device-dependent phase -> taps formulation
         filter_idx = buckets * s.pixel_types + ptype
         raw = apply_filters_taps(cheap_ext, filter_idx, filters, s.patch_size)
 
@@ -244,6 +254,9 @@ def make_stripe_fn(
     """Per-device stripe pipeline: LR stripe [lr_h/n, W] -> HR stripe."""
     assert out_h % n_stripes == 0 and lr_h % n_stripes == 0, (
         "row count must divide the mesh axis"
+    )
+    assert (out_h // n_stripes) % 2 == 0, (
+        "stripes must start on even rows (pixel-phase alignment)"
     )
     hr_stripe = out_h // n_stripes
     lr_stripe = lr_h // n_stripes
