@@ -75,14 +75,15 @@ def _band_kernel(
     band: int,
 ):
     # refs: cea, ceb, coa, cob, [cela, celb, cola, colb,]
-    #       bkt0..3, f0..f3 (K-packed), out, ce_s, co_s, [cel_s, col_s,] pt
+    #       bkt_e, bkt_o (column-parity, full band rows), f0..f3 (K-packed),
+    #       out, ce_s, co_s, [cel_s, col_s,] pt
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
     if mxu_passes >= 3:
         cela, celb, cola, colb = (next(it) for _ in range(4))
-    bkts = tuple(next(it) for _ in range(4))
+    bkt_par = tuple(next(it) for _ in range(2))  # [band, w2p] each
     fs = tuple(next(it) for _ in range(4))
-    out_ref = next(it)  # [tb2, 4 * w2p] f32 — phase p at lanes [p*w2p, ...)
+    out_ref = next(it)  # [band, 2 * w2p] f32 — full rows, col-parity halves
     ce_s = next(it)  # [band + 16, plane_w] bf16 scratch
     co_s = next(it)
     if mxu_passes >= 3:
@@ -150,12 +151,17 @@ def _band_kernel(
             )
 
             idx = jnp.concatenate(
-                [bkts[p][kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
+                [
+                    bkt_par[c0][2 * (kb + b) + r0 : 2 * (kb + b) + r0 + 1, :]
+                    for b in range(ROWBATCH)
+                ],
+                axis=1,
             )  # [1, n]
             mask = sub_iota == idx
             sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
             for b in range(ROWBATCH):
-                out_ref[kb + b : kb + b + 1, p * w2p : (p + 1) * w2p] = sel[
+                r_full = 2 * (kb + b) + r0
+                out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
                     :, b * w2p : (b + 1) * w2p
                 ]
 
@@ -229,10 +235,16 @@ def apply_filters_pallas(
         parts = [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
 
+    # buckets as two column-parity arrays (1-D lane strides only: 2-D
+    # strided slices cost ~75 ms each on this toolchain); row phases are
+    # separated inside the kernel with static row indexing
+    bkt_rows = 2 * h2p
     bkts = []
-    for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
-        b = buckets[r0::2, c0::2]
-        bkts.append(jnp.pad(b, ((0, h2p - b.shape[0]), (0, w2p - b.shape[1]))))
+    for c0 in range(2):
+        b = buckets[:, c0::2]
+        bkts.append(
+            jnp.pad(b, ((0, bkt_rows - b.shape[0]), (0, w2p - b.shape[1])))
+        )
 
     # Canonical leading-dim blocking: every windowed operand is reshaped to
     # [n_tiles, rows, cols] and blocked (None, rows, cols) on dim 0 — 2-D
@@ -243,13 +255,15 @@ def apply_filters_pallas(
         (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     bkt_spec = pl.BlockSpec(
-        (None, tb2, w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (None, band, w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
         (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    # output: full rows x column-parity halves (even cols at lanes [0, w2p),
+    # odd at [w2p, 2*w2p)) -> one cheap lane-interleave at the end
     out_spec = pl.BlockSpec(
-        (None, tb2, 4 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
     kernel = functools.partial(
@@ -272,28 +286,23 @@ def apply_filters_pallas(
         plane_args.append(
             pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
         )
-    bkt_args = [b.reshape(n_tiles, tb2, w2p) for b in bkts]
+    bkt_args = [b.reshape(n_tiles, band, w2p) for b in bkts]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + [bkt_spec] * 4 + [f_spec] * 4,
+        in_specs=plane_specs + [bkt_spec] * 2 + [f_spec] * 4,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tb2, 4 * w2p), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
     )(*plane_args, *bkt_args, *f_phase)
-    out = out.reshape(h2p, 4 * w2p)
+    out = out.reshape(2 * h2p, 2 * w2p)
 
-    outs = [
-        out[: (h - r0 + 1) // 2, p * w2p : p * w2p + (w - c0 + 1) // 2]
-        for p, (r0, c0) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)])
-    ]
-    # interleave the 4 phase subgrids back (reshape form, no scatter)
-    he, we = -(-h // 2), -(-w // 2)
-    outs = [jnp.pad(o, ((0, he - o.shape[0]), (0, we - o.shape[1]))) for o in outs]
-    row0 = jnp.stack([outs[0], outs[1]], axis=2).reshape(he, 2 * we)
-    row1 = jnp.stack([outs[2], outs[3]], axis=2).reshape(he, 2 * we)
-    return jnp.stack([row0, row1], axis=1).reshape(2 * he, 2 * we)[:h, :w]
+    # single lane-interleave of the column-parity halves
+    oute = out[:, :w2p]
+    outo = out[:, w2p : 2 * w2p]
+    full = jnp.stack([oute, outo], axis=2).reshape(2 * h2p, 2 * w2p)
+    return full[:h, :w]
 
 
 # ---------------------------------------------------------------------------
