@@ -103,27 +103,29 @@ def _band_kernel(
         col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
 
     n = ROWBATCH * w2p
-    k_dim = patch_size * BLOCK
+    n_blocks = patch_size + 1  # 12 shared tap-column blocks serve both c0s
+    k_dim = n_blocks * BLOCK  # 192 per precision slot
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
 
     # zero tap-pad rows once (0 * garbage could be NaN)
     zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
     for blk in range(mxu_passes):
-        for j in range(patch_size):
+        for j in range(n_blocks):
             pt_ref[
                 blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
             ] = zpad
 
-    for p, (r0, c0) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
-        f_ref = fs[p]
+    for r0 in range(2):
         for kb in range(0, tb2, ROWBATCH):
+            # shared PT: block j' covers tap col j'-c0 of column-phase c0;
+            # c0=0 uses blocks 0..10, c0=1 uses blocks 1..11 (zero-padded
+            # filters mask the unused block per phase)
             for b in range(ROWBATCH):
-                k = kb + b
-                r = 2 * k + r0
-                for j in range(patch_size):
-                    parity = (c0 + j + 1) % 2
-                    off = (c0 + j + 1) // 2
+                r = 2 * (kb + b) + r0
+                for j in range(n_blocks):
+                    parity = (j + 1) % 2
+                    off = (j + 1) // 2
                     plane = ce_s if parity == 0 else co_s
                     block = plane[r : r + patch_size, off : off + w2p]
                     pt_ref[
@@ -146,24 +148,26 @@ def _band_kernel(
                             b * w2p : (b + 1) * w2p,
                         ] = planel[r : r + patch_size, off : off + w2p]
 
-            gt = lax.dot_general(
-                f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
-            )
+            for c0 in range(2):
+                f_ref = fs[2 * r0 + c0]
+                gt = lax.dot_general(
+                    f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+                )
 
-            idx = jnp.concatenate(
-                [
-                    bkt_par[c0][2 * (kb + b) + r0 : 2 * (kb + b) + r0 + 1, :]
-                    for b in range(ROWBATCH)
-                ],
-                axis=1,
-            )  # [1, n]
-            mask = sub_iota == idx
-            sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
-            for b in range(ROWBATCH):
-                r_full = 2 * (kb + b) + r0
-                out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
-                    :, b * w2p : (b + 1) * w2p
-                ]
+                idx = jnp.concatenate(
+                    [
+                        bkt_par[c0][2 * (kb + b) + r0 : 2 * (kb + b) + r0 + 1, :]
+                        for b in range(ROWBATCH)
+                    ],
+                    axis=1,
+                )  # [1, n]
+                mask = sub_iota == idx
+                sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+                for b in range(ROWBATCH):
+                    r_full = 2 * (kb + b) + r0
+                    out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
+                        :, b * w2p : (b + 1) * w2p
+                    ]
 
 
 @functools.partial(
@@ -200,7 +204,7 @@ def apply_filters_pallas(
     h, w = cheap.shape
     m = patch_size // 2
     n_taps = patch_size * patch_size
-    k_dim = patch_size * BLOCK  # 176
+    k_dim = (patch_size + 1) * BLOCK  # 192: 12 shared tap-column blocks
     band = 2 * tb2  # full image rows per grid step
 
     h2 = -(-h // 2)
@@ -223,14 +227,19 @@ def apply_filters_pallas(
         planes.append(lo[:, 0::2])
         planes.append(lo[:, 1::2])
 
-    # per-phase filters^T with taps at t = j*BLOCK + i, K-packed per
-    # precision pass: [fhi | flo | fhi] matching pt [hi | hi | lo]
+    # per-phase filters^T against the 12 shared tap-column blocks: phase
+    # (r0, c0) maps block j' to tap col j'-c0 (block c0==0? 11 : 0 is zero);
+    # K-packed per precision pass: [fhi | flo | fhi] matching pt [hi|hi|lo]
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
+    n_blocks = patch_size + 1
     f_phase = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
-        fp = jnp.zeros((NBP, patch_size, BLOCK), jnp.float32)
-        fp = fp.at[:NB, :, :patch_size].set(jnp.transpose(f_all[:, pt_idx], (0, 2, 1)))
+        fp = jnp.zeros((NBP, n_blocks, BLOCK), jnp.float32)
+        # block j' = c0 + j holds tap column j (rows i in the leading slots)
+        fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
+            jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
+        )
         fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))
         parts = [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
