@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 NB = 216  # hash buckets (Qangle * Qstrength * Qcoherence)
 NBP = 224  # sublane-padded bucket count
 BLOCK = 16  # sublane-aligned tap rows per patch column (11 data + 5 zero)
-ROWBATCH = 2  # phase-rows batched per matmul (N = ROWBATCH * w2p)
+ROWBATCH = 2  # default phase-rows batched per matmul (N = ROWBATCH * w2p)
 
 
 def _round_bf16(x):
@@ -73,6 +73,7 @@ def _band_kernel(
     patch_size: int,
     mxu_passes: int,
     band: int,
+    rowbatch: int = ROWBATCH,
 ):
     # refs: cea, ceb, coa, cob, [cela, celb, cola, colb,]
     #       bkt_e, bkt_o (column-parity, full band rows), f0..f3 (K-packed),
@@ -102,7 +103,7 @@ def _band_kernel(
         col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
         col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
 
-    n = ROWBATCH * w2p
+    n = rowbatch * w2p
     n_blocks = patch_size + 1  # 12 shared tap-column blocks serve both c0s
     k_dim = n_blocks * BLOCK  # 192 per precision slot
     sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
@@ -117,11 +118,11 @@ def _band_kernel(
             ] = zpad
 
     for r0 in range(2):
-        for kb in range(0, tb2, ROWBATCH):
+        for kb in range(0, tb2, rowbatch):
             # shared PT: block j' covers tap col j'-c0 of column-phase c0;
             # c0=0 uses blocks 0..10, c0=1 uses blocks 1..11 (zero-padded
             # filters mask the unused block per phase)
-            for b in range(ROWBATCH):
+            for b in range(rowbatch):
                 r = 2 * (kb + b) + r0
                 for j in range(n_blocks):
                     parity = (j + 1) % 2
@@ -157,13 +158,13 @@ def _band_kernel(
                 idx = jnp.concatenate(
                     [
                         bkt_par[c0][2 * (kb + b) + r0 : 2 * (kb + b) + r0 + 1, :]
-                        for b in range(ROWBATCH)
+                        for b in range(rowbatch)
                     ],
                     axis=1,
                 )  # [1, n]
                 mask = sub_iota == idx
                 sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
-                for b in range(ROWBATCH):
+                for b in range(rowbatch):
                     r_full = 2 * (kb + b) + r0
                     out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
                         :, b * w2p : (b + 1) * w2p
@@ -174,7 +175,7 @@ def _band_kernel(
     jax.jit,
     static_argnames=(
         "patch_size", "pixel_types", "patch_margin", "ratio", "mxu_passes",
-        "tb2", "interpret",
+        "tb2", "rowbatch", "interpret",
     ),
 )
 def apply_filters_pallas(
@@ -187,6 +188,7 @@ def apply_filters_pallas(
     ratio: int = 2,
     mxu_passes: int = 2,
     tb2: int = 8,
+    rowbatch: int = ROWBATCH,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused filter apply; returns the raw filtered plane [H, W] f32.
@@ -282,10 +284,11 @@ def apply_filters_pallas(
         patch_size=patch_size,
         mxu_passes=mxu_passes,
         band=band,
+        rowbatch=rowbatch,
     )
     n_stage = 2 if mxu_passes < 3 else 4
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
-    scratch.append(pltpu.VMEM((mxu_passes * k_dim, ROWBATCH * w2p), jnp.bfloat16))
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16))
 
     plane_specs = []
     plane_args = []
