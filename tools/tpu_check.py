@@ -106,6 +106,37 @@ def bench_pipeline():
         log(f"full 1080p->4K 2-pass frame: {dt*1000:.2f} ms -> {1/dt:.1f} fps")
 
 
+def check_pipeline_quality():
+    """Full pallas pipeline vs the exact taps pipeline (golden fixture input):
+    deviations are bucket flips at fp ties; PSNR must stay ~lossless."""
+    import os
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.ops.pipeline import pass_statics, process_plane_y
+    from raisr_tpu.utils.metrics import psnr
+
+    data = np.load(
+        os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
+                     "2x_highres_p2_b2_8bit.npz")
+    )
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, passes=2)
+    model = load_model(folder, cfg)
+    statics = pass_statics(cfg, model, "pallas")
+    filters = tuple(jnp.asarray(b.filters) for b in model.banks)
+    qstr = tuple(jnp.asarray(b.qstr) for b in model.banks)
+    qcoh = tuple(jnp.asarray(b.qcoh) for b in model.banks)
+    lr = jnp.asarray(data["lr"].astype(np.float32))
+    out = np.asarray(
+        process_plane_y(lr, filters, qstr, qcoh, statics, 2, 1, 64, 96)
+    ).astype(np.uint8)
+    expected = data["expected"]
+    mismatch = (out != expected).mean()
+    p = psnr(out, expected, 255.0)
+    log(f"pipeline quality vs exact: {mismatch:.4%} pixels differ, PSNR {p:.1f} dB")
+    assert p > 50.0 or mismatch == 0.0, (mismatch, p)
+
+
 def bench_dispatch_overhead():
     # per-dispatch + fence overhead of the remote tunnel, to subtract
     noop = jax.jit(lambda x: x + 1.0)
@@ -123,6 +154,7 @@ if __name__ == "__main__":
     t_all = time.time()
     bench_dispatch_overhead()
     check_kernel_correctness()
+    check_pipeline_quality()
     bench_kernel()
     bench_pipeline()
     log(f"total {time.time()-t_all:.0f}s")
