@@ -456,3 +456,327 @@ def _apply_filters_single_phase(
         interpret=interpret,
     )(*plane_args, bkt.reshape(n_tiles, tbr, wp), f_packed)
     return out.reshape(hp, wp)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# fully-fused variant: gradients + structure tensor + hash computed in-kernel
+# (ratio 2 / pixel_types == 4)
+# ---------------------------------------------------------------------------
+
+
+def _band_kernel_fused(
+    *refs,
+    tb2: int,
+    w2p: int,
+    plane_w: int,
+    patch_size: int,
+    mxu_passes: int,
+    band: int,
+    rowbatch: int,
+    k1d: tuple,
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int,
+    qstrength: int,
+    qcoherence: int,
+):
+    """Per 16-row band: stage f32 planes, compute gradients + separable
+    Gaussian structure tensor + hash buckets (GetHashValue semantics,
+    reference Raisr_AVX512.cpp:175-258) for both column parities, then run
+    the shared-block PT assembly + MXU G-matmul + select of _band_kernel.
+
+    Window-local row l corresponds to full image row band*i - 6 + l
+    (top pad = patch_margin + 1 so gradients of the tensor support rows are
+    in range)."""
+    from raisr_tpu.ops.hashing import atan2_approx
+
+    def _roll(x, shift):
+        # pltpu.roll requires non-negative shifts; wrap circularly (the
+        # wrapped lanes only pollute masked border columns)
+        return pltpu.roll(x, shift % x.shape[1], axis=1)
+
+    it = iter(refs)
+    cea, ceb, coa, cob = (next(it) for _ in range(4))
+    if mxu_passes >= 3:
+        cela, celb, cola, colb = (next(it) for _ in range(4))
+    fs = tuple(next(it) for _ in range(4))
+    out_ref = next(it)  # [band, 2 * w2p] f32
+    cf_e = next(it)  # [band + 16, plane_w] f32 staging
+    cf_o = next(it)
+    ce_s = next(it)  # [band + 16, plane_w] bf16 staging
+    co_s = next(it)
+    if mxu_passes >= 3:
+        cel_s = next(it)
+        col_s = next(it)
+    bkt_scr = (next(it), next(it))  # int32 [band, w2p] per column parity
+    pt_ref = next(it)
+
+    # ---- stage -----------------------------------------------------------
+    cf_e[0:band, :] = cea[...]
+    cf_e[band : band + 16, :] = ceb[0:16, :]
+    cf_o[0:band, :] = coa[...]
+    cf_o[band : band + 16, :] = cob[0:16, :]
+    ce_s[...] = cf_e[...].astype(jnp.bfloat16)
+    co_s[...] = cf_o[...].astype(jnp.bfloat16)
+    if mxu_passes >= 3:
+        cel_s[0:band, :] = cela[...].astype(jnp.bfloat16)
+        cel_s[band : band + 16, :] = celb[0:16, :].astype(jnp.bfloat16)
+        col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
+        col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
+
+    # ---- gradients (rows l+1 for l in [0, band+12)) ------------------------
+    rows_g = band + 12
+    E = cf_e[0 : rows_g + 2, :]
+    O = cf_o[0 : rows_g + 2, :]
+    gx_e = E[2:, :] - E[:-2, :]  # vertical gradient at even cols
+    gx_o = O[2:, :] - O[:-2, :]
+    Em = E[1:-1, :]
+    Om = O[1:-1, :]
+    gy_e = Om - _roll(Om, 1)  # cheap[f+1] - cheap[f-1], f even
+    gy_o = _roll(Em, -1) - Em  # f odd
+
+    # ---- separable Gaussian structure tensor ------------------------------
+    def vert(mp):
+        acc = None
+        for i, kv in enumerate(k1d):
+            t = mp[i : i + band, :] * kv
+            acc = t if acc is None else acc + t
+        return acc  # [band, plane_w]
+
+    v_maps = {}
+    for par, gx, gy in (("e", gx_e, gy_e), ("o", gx_o, gy_o)):
+        v_maps[par] = (vert(gx * gx), vert(gx * gy), vert(gy * gy))
+
+    # horizontal pass with parity mixing; output plane index base 3
+    # (full col f=2c-6 for parity e / 2c-5 for parity o at plane idx c)
+    def horiz(par):
+        outs = []
+        for comp in range(3):
+            acc = None
+            for j, kv in enumerate(k1d):
+                if par == "e":
+                    src_par = "e" if j % 2 == 1 else "o"
+                    off = (j - 5) // 2 if j % 2 == 1 else (j - 6) // 2
+                else:
+                    src_par = "e" if j % 2 == 0 else "o"
+                    off = (j - 4) // 2 if j % 2 == 0 else (j - 5) // 2
+                t = _roll(v_maps[src_par][comp], -off) * kv
+                acc = t if acc is None else acc + t
+            outs.append(acc * nf)
+        return outs  # a, b, d [band, plane_w]
+
+    # ---- hash (AVX-512 tie semantics) --------------------------------------
+    for c0, par in ((0, "e"), (1, "o")):
+        a, b, d = horiz(par)
+        a = a[:, 3 : 3 + w2p]
+        b = b[:, 3 : 3 + w2p]
+        d = d[:, 3 : 3 + w2p]
+        t_tr = a + d
+        det = a * d - b * b
+        disc = jnp.maximum(t_tr * t_tr * 0.25 - det, 0.0)
+        sqr = jnp.sqrt(disc)
+        l1 = t_tr * 0.5 + sqr
+        l2 = jnp.maximum(t_tr * 0.5 - sqr, 0.0)
+        x = jnp.where(b != 0.0, l1 - d, 1.0)
+        angle = atan2_approx(b, x)
+        angle = angle + jnp.where(angle < 0.0, jnp.float32(3.14159265358979), 0.0)
+        sl1 = jnp.sqrt(l1)
+        sl2 = jnp.sqrt(l2)
+        coh = (sl1 - sl2) / (sl1 + sl2 + 1e-17)
+        ai = jnp.clip(
+            jnp.floor(angle * (qangle / 3.14159265358979)).astype(jnp.int32),
+            0,
+            qangle - 1,
+        )
+        si = jnp.zeros_like(ai)
+        for edge in qstr:
+            si = si + (jnp.float32(edge) <= l1).astype(jnp.int32)
+        ci = jnp.zeros_like(ai)
+        for edge in qcoh:
+            ci = ci + (jnp.float32(edge) <= coh).astype(jnp.int32)
+        bkt_scr[c0][...] = ai * (qstrength * qcoherence) + si * qcoherence + ci
+
+    # ---- shared-block PT + MXU matmul + select (as _band_kernel, with the
+    # +1 row offset from the deeper top pad) --------------------------------
+    n = rowbatch * w2p
+    n_blocks = patch_size + 1
+    k_dim = n_blocks * BLOCK
+    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
+    dims = (((1,), (0,)), ((), ()))
+
+    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
+    for blk in range(mxu_passes):
+        for j in range(n_blocks):
+            pt_ref[
+                blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
+            ] = zpad
+
+    for r0 in range(2):
+        for kb in range(0, tb2, rowbatch):
+            for b in range(rowbatch):
+                r = 2 * (kb + b) + r0 + 1  # +1: top pad is margin+1
+                for j in range(n_blocks):
+                    parity = (j + 1) % 2
+                    off = (j + 1) // 2
+                    plane = ce_s if parity == 0 else co_s
+                    block = plane[r : r + patch_size, off : off + w2p]
+                    pt_ref[
+                        j * BLOCK : j * BLOCK + patch_size,
+                        b * w2p : (b + 1) * w2p,
+                    ] = block
+                    if mxu_passes >= 2:
+                        pt_ref[
+                            k_dim + j * BLOCK : k_dim + j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = block
+                    if mxu_passes >= 3:
+                        planel = cel_s if parity == 0 else col_s
+                        pt_ref[
+                            2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = planel[r : r + patch_size, off : off + w2p]
+
+            for c0 in range(2):
+                f_ref = fs[2 * r0 + c0]
+                gt = lax.dot_general(
+                    f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+                )
+                idx = jnp.concatenate(
+                    [
+                        bkt_scr[c0][2 * (kb + b) + r0 : 2 * (kb + b) + r0 + 1, :]
+                        for b in range(rowbatch)
+                    ],
+                    axis=1,
+                )
+                mask = sub_iota == idx
+                sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+                for b in range(rowbatch):
+                    r_full = 2 * (kb + b) + r0
+                    out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
+                        :, b * w2p : (b + 1) * w2p
+                    ]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
+        "patch_size", "patch_margin", "mxu_passes", "tb2", "rowbatch",
+        "interpret",
+    ),
+)
+def apply_filters_hash_pallas(
+    cheap: jnp.ndarray,  # [H, W] f32 (integer-valued)
+    filters: jnp.ndarray,  # [864, 128] f32
+    k1d: tuple,  # gaussian 1-D kernel (floats)
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int = 24,
+    qstrength: int = 3,
+    qcoherence: int = 3,
+    patch_size: int = 11,
+    patch_margin: int = 5,
+    mxu_passes: int = 2,
+    tb2: int = 8,
+    rowbatch: int = ROWBATCH,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fully-fused hash + filter apply (ratio 2): cheap plane in, raw
+    filtered plane out; gradients/structure tensor/hash never touch HBM."""
+    pixel_types = 4
+    h, w = cheap.shape
+    m = patch_size // 2
+    n_taps = patch_size * patch_size
+    k_dim = (patch_size + 1) * BLOCK
+    band = 2 * tb2
+
+    h2 = -(-h // 2)
+    w2 = -(-w // 2)
+    h2p = _pad_to(h2, tb2)
+    w2p = _pad_to(w2, 128)
+    plane_w = w2p + 128
+
+    n_tiles = h2p // tb2
+    top = m + 1  # gradient of the first tensor-support row needs one more
+    bottom = (n_tiles + 1) * band - (h + top)
+    left = m + 1
+    right = 2 * plane_w - w - left
+
+    padded = jnp.pad(cheap, ((top, bottom), (left, right)))
+    planes = [padded[:, 0::2], padded[:, 1::2]]
+    if mxu_passes >= 3:
+        lo = padded - _round_bf16(padded)
+        planes.append(lo[:, 0::2])
+        planes.append(lo[:, 1::2])
+
+    f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
+    n_blocks = patch_size + 1
+    f_phase = []
+    for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
+        fp = jnp.zeros((NBP, n_blocks, BLOCK), jnp.float32)
+        fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
+            jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
+        )
+        fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))
+        parts = [fhi, flo, fhi][:mxu_passes]
+        f_phase.append(jnp.concatenate(parts, axis=1))
+
+    plane_spec = pl.BlockSpec(
+        (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    f_spec = pl.BlockSpec(
+        (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _band_kernel_fused,
+        tb2=tb2,
+        w2p=w2p,
+        plane_w=plane_w,
+        patch_size=patch_size,
+        mxu_passes=mxu_passes,
+        band=band,
+        rowbatch=rowbatch,
+        k1d=k1d,
+        nf=nf,
+        qstr=qstr,
+        qcoh=qcoh,
+        qangle=qangle,
+        qstrength=qstrength,
+        qcoherence=qcoherence,
+    )
+    scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
+    n_stage = 2 if mxu_passes < 3 else 4
+    scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
+    scratch += [pltpu.VMEM((band, w2p), jnp.int32) for _ in range(2)]
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16))
+
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.append(pln[: n_tiles * band].reshape(n_tiles, band, plane_w))
+        plane_args.append(
+            pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs + [f_spec] * 4,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, *f_phase)
+    out = out.reshape(2 * h2p, 2 * w2p)
+
+    oute = out[:, :w2p]
+    outo = out[:, w2p : 2 * w2p]
+    full = jnp.stack([oute, outo], axis=2).reshape(2 * h2p, 2 * w2p)
+    return full[:h, :w]

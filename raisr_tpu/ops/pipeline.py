@@ -55,6 +55,9 @@ class PassStatics:
     # MXU passes for the fused kernel: 1 = pure bf16 (the AVX512-FP16
     # analogue), 2 = f32-grade for 8-bit content, 3 = f32-grade for 10/16-bit
     mxu_passes: int = 2
+    # per-pass (qstr, qcoh) bin edges as python floats: the fully-fused
+    # pallas kernel bakes them as compile-time constants
+    bank_edges: tuple = ()
 
     @property
     def patch_margin(self) -> int:
@@ -91,12 +94,36 @@ def raisr_pass(
     qstr: jnp.ndarray,
     qcoh: jnp.ndarray,
     statics: PassStatics,
+    pass_idx: int = 0,
 ) -> jnp.ndarray:
     """One RAISR pass over an integer-valued float32 plane. Returns the
     integer-valued output plane (float32)."""
     h, w = cheap.shape
     s = statics
     lm = s.loop_margin
+
+    if s.backend == "pallas" and s.use_pixel_type and s.bank_edges:
+        # fully fused: gradients + structure tensor + hash + filter in one
+        # kernel (nothing but the cheap plane and the output touch HBM)
+        from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+        from raisr_tpu.ops.pallas.filter_kernel import apply_filters_hash_pallas
+
+        edges = s.bank_edges[pass_idx]
+        raw = apply_filters_hash_pallas(
+            cheap,
+            filters,
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(s.patch_size)),
+            nf=normalization_factor(s.bits),
+            qstr=edges[0],
+            qcoh=edges[1],
+            qangle=s.qangle,
+            qstrength=s.qstrength,
+            qcoherence=s.qcoherence,
+            patch_size=s.patch_size,
+            patch_margin=s.patch_margin,
+            mxu_passes=s.mxu_passes,
+        )
+        return _finish_pass(cheap, raw, s)
 
     gx, gy = hashing.gradients(cheap)
     if s.backend == "pallas":
@@ -142,6 +169,13 @@ def raisr_pass(
         filter_idx = buckets * s.pixel_types + ptype
         raw = apply_filters_taps(cheap, filter_idx, filters, s.patch_size)
 
+    return _finish_pass(cheap, raw, s)
+
+
+def _finish_pass(cheap: jnp.ndarray, raw: jnp.ndarray, s: PassStatics) -> jnp.ndarray:
+    """Range-reject, CT blend, zone masks, rounding — shared pass epilogue."""
+    h, w = cheap.shape
+    lm = s.loop_margin
     # Out-of-range reject keeps the cheap pixel (exclusive compare,
     # Raisr.cpp:1196-1201); the rejected value also feeds the CT blend's HR
     # input, because raisr32f starts as a copy of the cheap plane
@@ -183,6 +217,10 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         mxu_passes = 1  # fp16-class path (reference AVX512FP16 analogue)
     else:
         mxu_passes = 2 if cfg.bits == 8 else 3
+    bank_edges = tuple(
+        (tuple(float(v) for v in b.qstr), tuple(float(v) for v in b.qcoh))
+        for b in model.banks
+    )
     return PassStatics(
         qangle=model.qangle,
         qstrength=model.qstrength,
@@ -198,6 +236,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         exact_edges=cfg.exact_edges,
         backend=backend,
         mxu_passes=mxu_passes,
+        bank_edges=bank_edges,
     )
 
 
@@ -238,6 +277,7 @@ def process_plane_y(
             bank_qstr[pass_idx],
             bank_qcoh[pass_idx],
             statics,
+            pass_idx,
         )
     return x
 

@@ -1,0 +1,65 @@
+"""Fully-fused hash+filter kernel: interpret-mode parity vs the XLA path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+from raisr_tpu.ops import hashing
+from raisr_tpu.ops.filter_apply import apply_filters_taps
+from raisr_tpu.ops.pallas.filter_kernel import apply_filters_hash_pallas
+
+RNG = np.random.default_rng(11)
+
+QSTR = (0.001269, 0.022169)
+QCOH = (0.192916, 0.405942)
+
+
+def _smooth(h, w, bits=8, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h, w))
+    for ax in (0, 1):
+        img = np.apply_along_axis(lambda r: np.convolve(r, np.ones(5) / 5, "same"), ax, img)
+    img = (img - img.min()) / (img.max() - img.min() + 1e-9)
+    return np.floor(img * ((1 << bits) - 1)).astype(np.float32)
+
+
+@pytest.mark.parametrize("mxu_passes,bits", [(2, 8), (3, 10)])
+def test_fused_matches_xla_path(mxu_passes, bits):
+    h, w = 48, 64
+    img = _smooth(h, w, bits)
+    filters = np.zeros((864, 128), np.float32)
+    filters[:, :121] = RNG.normal(size=(864, 121)).astype(np.float32) * 0.01
+    filters[:, 60] += 1.0
+
+    # XLA reference: separable tensor + hash + taps
+    k1d = gaussian_kernel_1d(11)
+    nf = normalization_factor(bits)
+    gx, gy = hashing.gradients(jnp.asarray(img))
+    a, b, d = hashing.structure_tensor_separable(gx, gy, k1d, nf)
+    buckets = hashing.hash_buckets(
+        a, b, d, jnp.asarray(QSTR, jnp.float32), jnp.asarray(QCOH, jnp.float32),
+        24, 3, 3,
+    )
+    pt = ((np.arange(h)[:, None] - 5) % 2) * 2 + (np.arange(w)[None, :] - 5) % 2
+    idx = jnp.asarray(np.asarray(buckets) * 4 + pt)
+    ref = np.asarray(apply_filters_taps(jnp.asarray(img), idx, jnp.asarray(filters), 11))
+
+    out = np.asarray(
+        apply_filters_hash_pallas(
+            jnp.asarray(img),
+            jnp.asarray(filters),
+            k1d=tuple(float(v) for v in k1d),
+            nf=nf,
+            qstr=QSTR,
+            qcoh=QCOH,
+            mxu_passes=mxu_passes,
+            interpret=True,
+        )
+    )
+    core = np.s_[6:-6, 6:-6]
+    diff = np.abs(out[core] - ref[core])
+    # identical hashing math in f32: only exact fp ties may flip a bucket
+    frac_big = (diff > 0.5).mean()
+    assert frac_big < 0.005, (frac_big, diff.max())
+    assert np.median(diff) < 5e-3
