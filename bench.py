@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 BASELINE_FPS = 60.0
-N_FRAMES = 8
+N_FRAMES = 32
 
 
 def main():
@@ -42,9 +42,15 @@ def main():
 
     n = N_FRAMES if jax.default_backend() != "cpu" else 1
     lr_h, lr_w = 1080, 1920
+    # per-process salt: remote-execution backends cache identical dispatches
+    # ACROSS processes, so inputs must differ between bench runs too
+    salt = float(time.time_ns() % 100003) / 1000.0
     rng = np.random.default_rng(0)
     tall = jnp.asarray(
-        rng.integers(16, 235, size=(n * lr_h, lr_w)).astype(np.float32)
+        np.clip(
+            rng.integers(16, 235, size=(n * lr_h, lr_w)).astype(np.float32) + salt,
+            0, 235,
+        )
     )
 
     def fn(y):
@@ -67,13 +73,17 @@ def main():
 
     fence(fn(tall))  # compile + warm
     times = []
-    for rep in range(3):
-        fresh = tall + float(rep + 1)
+    for rep in range(5):
+        fresh = tall + float(rep + 1) * 0.125
         fence(fresh)
         t0 = time.perf_counter()
         fence(fn(fresh))
         times.append(time.perf_counter() - t0)
-    elapsed = max(min(times) - overhead, 1e-9)
+    times.sort()
+    best = times[0]  # queueing noise is additive; min is closest to device time
+    elapsed = best - overhead
+    if elapsed <= best * 0.2:  # overhead estimate unreliable; report raw
+        elapsed = best
     fps = n / elapsed
 
     print(
