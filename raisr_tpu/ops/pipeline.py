@@ -122,6 +122,7 @@ def raisr_pass(
             patch_size=s.patch_size,
             patch_margin=s.patch_margin,
             mxu_passes=s.mxu_passes,
+            rowbatch=8,
         )
         return _finish_pass(cheap, raw, s)
 
