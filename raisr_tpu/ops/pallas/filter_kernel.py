@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NB = 216  # hash buckets (Qangle * Qstrength * Qcoherence)
-NBP = 224  # sublane-padded bucket count
+NBP = 256  # bucket count padded to a power of two (2 MXU M-tiles,
+# and the select folds 256 -> 1 by bucket-index bits)
 BLOCK = 16  # sublane-aligned tap rows per patch column (11 data + 5 zero)
 ROWBATCH = 2  # default phase-rows batched per matmul (N = ROWBATCH * w2p)
 
@@ -64,6 +65,21 @@ def _split_hi_lo(x):
 
 def _pad_to(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _tree_select(gt, idx):
+    """gt[idx[c], c] for each column: fold the NBP(=256, power of two) rows
+    by bucket-index bits — ~1x the array traffic instead of the ~2.5x of a
+    one-hot where + full sublane reduction."""
+    cur = gt
+    size = NBP // 2
+    bit = 7
+    while size >= 1:
+        cond = ((idx >> bit) & 1) == 1  # [1, n], broadcast over sublanes
+        cur = jnp.where(cond, cur[size : 2 * size, :], cur[0:size, :])
+        size //= 2
+        bit -= 1
+    return cur
 
 
 def _band_kernel(
@@ -106,7 +122,6 @@ def _band_kernel(
     n = rowbatch * w2p
     n_blocks = patch_size + 1  # 12 shared tap-column blocks serve both c0s
     k_dim = n_blocks * BLOCK  # 192 per precision slot
-    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
 
     # zero tap-pad rows once (0 * garbage could be NaN)
@@ -162,8 +177,7 @@ def _band_kernel(
                     ],
                     axis=1,
                 )  # [1, n]
-                mask = sub_iota == idx
-                sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+                sel = _tree_select(gt, idx)
                 for b in range(rowbatch):
                     r_full = 2 * (kb + b) + r0
                     out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
@@ -350,7 +364,6 @@ def _single_kernel(
 
     n = ROWBATCH * wp
     k_dim = patch_size * BLOCK
-    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
     zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
     for j in range(patch_size):
@@ -379,8 +392,7 @@ def _single_kernel(
         idx = jnp.concatenate(
             [bkt_ref[kb + b : kb + b + 1, :] for b in range(ROWBATCH)], axis=1
         )
-        mask = sub_iota == idx
-        sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+        sel = _tree_select(gt, idx)
         for b in range(ROWBATCH):
             out_ref[kb + b : kb + b + 1, :] = sel[:, b * wp : (b + 1) * wp]
 
@@ -602,7 +614,6 @@ def _band_kernel_fused(
     n = rowbatch * w2p
     n_blocks = patch_size + 1
     k_dim = n_blocks * BLOCK
-    sub_iota = lax.broadcasted_iota(jnp.int32, (NBP, n), 0)
     dims = (((1,), (0,)), ((), ()))
 
     zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
@@ -649,8 +660,7 @@ def _band_kernel_fused(
                     ],
                     axis=1,
                 )
-                mask = sub_iota == idx
-                sel = jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+                sel = _tree_select(gt, idx)
                 for b in range(rowbatch):
                     r_full = 2 * (kb + b) + r0
                     out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
