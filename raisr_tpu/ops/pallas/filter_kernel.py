@@ -42,8 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NB = 216  # hash buckets (Qangle * Qstrength * Qcoherence)
-NBP = 256  # bucket count padded to a power of two (2 MXU M-tiles,
-# and the select folds 256 -> 1 by bucket-index bits)
+NBP = 224  # sublane-padded bucket count
 BLOCK = 16  # sublane-aligned tap rows per patch column (11 data + 5 zero)
 ROWBATCH = 2  # default phase-rows batched per matmul (N = ROWBATCH * w2p)
 
@@ -68,18 +67,11 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def _tree_select(gt, idx):
-    """gt[idx[c], c] for each column: fold the NBP(=256, power of two) rows
-    by bucket-index bits — ~1x the array traffic instead of the ~2.5x of a
-    one-hot where + full sublane reduction."""
-    cur = gt
-    size = NBP // 2
-    bit = 7
-    while size >= 1:
-        cond = ((idx >> bit) & 1) == 1  # [1, n], broadcast over sublanes
-        cur = jnp.where(cond, cur[size : 2 * size, :], cur[0:size, :])
-        size //= 2
-        bit -= 1
-    return cur
+    """gt[idx[c], c] per column via one-hot compare + sublane reduction.
+    (A bucket-bit folding tree was tried and measured slower at NBP=256.)"""
+    sub_iota = lax.broadcasted_iota(jnp.int32, gt.shape, 0)
+    mask = sub_iota == idx
+    return jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
 
 
 def _band_kernel(
@@ -660,7 +652,7 @@ def _band_kernel_fused(
                     ],
                     axis=1,
                 )
-                sel = _tree_select(gt, idx)
+                sel = _tree_select(gt, idx).astype(jnp.float32)
                 for b in range(rowbatch):
                     r_full = 2 * (kb + b) + r0
                     out_ref[r_full : r_full + 1, c0 * w2p : (c0 + 1) * w2p] = sel[
