@@ -130,6 +130,43 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_compare(args) -> int:
+    """PSNR/SSIM between two clips (golden-comparison workflow)."""
+    from raisr_tpu import video
+    from raisr_tpu.utils.metrics import psnr, ssim
+    from raisr_tpu.io_native import plane_mse
+    import math
+
+    ra = video.open_reader(args.a)
+    rb = video.open_reader(args.b)
+    max_val = float((1 << ra.fmt.bits) - 1)
+    count = 0
+    mse_sum = 0.0
+    ssim_sum = 0.0
+    for fa, fb in zip(ra, rb):
+        if fa.y.shape != fb.y.shape:
+            raise RaisrError(
+                f"frame size mismatch: {fa.y.shape} vs {fb.y.shape}"
+            )
+        mse_sum += plane_mse(fa.y, fb.y)
+        if args.ssim:
+            ssim_sum += ssim(fa.y, fb.y, max_val)
+        count += 1
+        if args.frames and count >= args.frames:
+            break
+    ra.close()
+    rb.close()
+    if count == 0:
+        raise RaisrError("no frames compared")
+    mean_mse = mse_sum / count
+    p = float("inf") if mean_mse == 0 else 10.0 * math.log10(max_val * max_val / mean_mse)
+    result = {"frames": count, "psnr_y_db": round(p, 3)}
+    if args.ssim:
+        result["ssim_y"] = round(ssim_sum / count, 5)
+    print(json.dumps(result))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -182,6 +219,13 @@ def main(argv=None) -> int:
     p_info = sub.add_parser("info", help="inspect a filter folder")
     _add_common(p_info)
     p_info.set_defaults(fn=cmd_info)
+
+    p_cmp = sub.add_parser("compare", help="PSNR/SSIM between two clips")
+    p_cmp.add_argument("a")
+    p_cmp.add_argument("b")
+    p_cmp.add_argument("--frames", type=int, default=0)
+    p_cmp.add_argument("--ssim", action="store_true")
+    p_cmp.set_defaults(fn=cmd_compare)
 
     p_bench = sub.add_parser("bench", help="synthetic Y-plane throughput")
     p_bench.add_argument("--width", type=int, default=1920)

@@ -129,3 +129,24 @@ class TestCLI:
         assert rc == 0
         rd = video.Y4MReader(str(dst))
         assert (rd.fmt.width, rd.fmt.height) == (62, 44)
+
+
+class TestCompare:
+    def test_compare_identical(self, tmp_path, capsys):
+        src = tmp_path / "a.y4m"
+        _write_y4m(src, 2, 32, 24)
+        rc = cli_main(["compare", str(src), str(src), "--ssim"])
+        assert rc == 0
+        import json
+
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["psnr_y_db"] == float("inf") or out["psnr_y_db"] > 99
+        assert out["ssim_y"] == pytest.approx(1.0, abs=1e-4)
+
+    def test_compare_different(self, tmp_path, capsys):
+        a = tmp_path / "a.y4m"
+        b = tmp_path / "b.y4m"
+        _write_y4m(a, 1, 32, 24)
+        fmt, frames = _write_y4m(b, 1, 32, 24)
+        rc = cli_main(["compare", str(a), str(b)])
+        assert rc == 0
