@@ -14,7 +14,7 @@ import functools
 
 import jax
 
-SCOPED_VMEM_KIB = 100 * 1024
+SCOPED_VMEM_KIB = 124 * 1024
 
 def compiler_options() -> dict | None:
     """Compile options for top-level jits wrapping the fused kernel."""

@@ -122,7 +122,8 @@ def raisr_pass(
             patch_size=s.patch_size,
             patch_margin=s.patch_margin,
             mxu_passes=s.mxu_passes,
-            rowbatch=8,
+            tb2=16,
+            rowbatch=16,
         )
         return _finish_pass(cheap, raw, s)
 

@@ -24,8 +24,8 @@ def _smooth(h, w, bits=8, seed=0):
     return np.floor(img * ((1 << bits) - 1)).astype(np.float32)
 
 
-@pytest.mark.parametrize("mxu_passes,bits", [(2, 8), (3, 10)])
-def test_fused_matches_xla_path(mxu_passes, bits):
+@pytest.mark.parametrize("mxu_passes,bits,tb2,rb", [(2, 8, 8, 8), (3, 10, 8, 2), (2, 8, 16, 16)])
+def test_fused_matches_xla_path(mxu_passes, bits, tb2, rb):
     h, w = 48, 64
     img = _smooth(h, w, bits)
     filters = np.zeros((864, 128), np.float32)
@@ -54,6 +54,8 @@ def test_fused_matches_xla_path(mxu_passes, bits):
             qstr=QSTR,
             qcoh=QCOH,
             mxu_passes=mxu_passes,
+            tb2=tb2,
+            rowbatch=rb,
             interpret=True,
         )
     )
