@@ -1,0 +1,456 @@
+"""Whole-pass fused Pallas kernel: cheap plane in -> final pass output out.
+
+Extends ops/pallas/filter_kernel.py's fused hash+filter kernel with the pass
+epilogue (range reject, census-transform blending, zone masks, rounding —
+reference semantics per Raisr.cpp:1196-1277) so one kernel implements the
+entire RAISR pass body for ratio 2: the gradients, structure tensor, hash
+buckets, G tensor, raw filter outputs, and census intermediates never touch
+HBM. Only the cheap-upscaled plane enters and the final integer-valued plane
+leaves.
+
+Blending happens at band rows using raw/reject values of neighbor rows, so
+each band computes raw for rows [-1, band+1) (one halo row re-computed per
+side instead of an inter-band exchange — the same trade the reference makes
+with halo-expanded thread segments, Raisr.cpp:1742-1779)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raisr_tpu.ops.pallas.filter_kernel import (
+    NB,
+    NBP,
+    BLOCK,
+    _round_bf16,
+    _split_hi_lo,
+    _pad_to,
+    _tree_select,
+)
+
+
+def _full_kernel(
+    *refs,
+    tb2: int,
+    w2p: int,
+    plane_w: int,
+    patch_size: int,
+    mxu_passes: int,
+    band: int,
+    rowbatch: int,
+    k1d: tuple,
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int,
+    qstrength: int,
+    qcoherence: int,
+    h_total: int,
+    w_total: int,
+    min_val: int,
+    max_val: int,
+    blending: int,
+    col_end: int,
+):
+    from raisr_tpu.ops.hashing import atan2_approx
+
+    def _roll(x, shift):
+        return pltpu.roll(x, shift % x.shape[1], axis=1)
+
+    it = iter(refs)
+    cea, ceb, coa, cob = (next(it) for _ in range(4))
+    if mxu_passes >= 3:
+        cela, celb, cola, colb = (next(it) for _ in range(4))
+    fs = tuple(next(it) for _ in range(4))
+    out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
+    cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
+    ce_s = next(it)  # bf16 staging
+    co_s = next(it)
+    if mxu_passes >= 3:
+        cel_s = next(it)
+        col_s = next(it)
+    bkt_scr = (next(it), next(it))  # int32 [band + 8, w2p]
+    raw_scr = (next(it), next(it))  # f32 [band + 8, w2p]
+    pt_ref = next(it)
+
+    cf_e, cf_o = cf
+    # ---- stage (local plane row l <-> full row band*i - 7 + l) -------------
+    cf_e[0:band, :] = cea[...]
+    cf_e[band : band + 16, :] = ceb[0:16, :]
+    cf_o[0:band, :] = coa[...]
+    cf_o[band : band + 16, :] = cob[0:16, :]
+    ce_s[...] = cf_e[...].astype(jnp.bfloat16)
+    co_s[...] = cf_o[...].astype(jnp.bfloat16)
+    if mxu_passes >= 3:
+        cel_s[0:band, :] = cela[...].astype(jnp.bfloat16)
+        cel_s[band : band + 16, :] = celb[0:16, :].astype(jnp.bfloat16)
+        col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
+        col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
+
+    # ---- gradients ---------------------------------------------------------
+    # gx_*[j] = vertical gradient at local row j+1, j in [0, band+14)
+    rows_g = band + 14
+    E = cf_e[0 : rows_g + 2, :]
+    O = cf_o[0 : rows_g + 2, :]
+    gx_e = E[2:, :] - E[:-2, :]
+    gx_o = O[2:, :] - O[:-2, :]
+    Em = E[1:-1, :]
+    Om = O[1:-1, :]
+    gy_e = Om - _roll(Om, 1)
+    gy_o = _roll(Em, -1) - Em
+
+    # ---- separable structure tensor ----------------------------------------
+    # raw rows t in [-1, band+2); tensor support local rows t+2..t+12;
+    # vert output index t' = t+1 in [0, band+3)
+    n_vert = band + 3
+
+    def vert(mp):
+        acc = None
+        for i, kv in enumerate(k1d):
+            t = mp[i : i + n_vert, :] * kv
+            acc = t if acc is None else acc + t
+        return acc
+
+    v_maps = {}
+    for par, gx, gy in (("e", gx_e, gy_e), ("o", gx_o, gy_o)):
+        v_maps[par] = (vert(gx * gx), vert(gx * gy), vert(gy * gy))
+
+    def horiz(par):
+        outs = []
+        for comp in range(3):
+            acc = None
+            for j, kv in enumerate(k1d):
+                if par == "e":
+                    src_par = "e" if j % 2 == 1 else "o"
+                    off = (j - 5) // 2 if j % 2 == 1 else (j - 6) // 2
+                else:
+                    src_par = "e" if j % 2 == 0 else "o"
+                    off = (j - 4) // 2 if j % 2 == 0 else (j - 5) // 2
+                t = _roll(v_maps[src_par][comp], -off) * kv
+                acc = t if acc is None else acc + t
+            outs.append(acc * nf)
+        return outs
+
+    # ---- hash --------------------------------------------------------------
+    for c0, par in ((0, "e"), (1, "o")):
+        a, b, d = horiz(par)
+        a = a[:, 3 : 3 + w2p]
+        b = b[:, 3 : 3 + w2p]
+        d = d[:, 3 : 3 + w2p]
+        t_tr = a + d
+        det = a * d - b * b
+        sqr = jnp.sqrt(jnp.maximum(t_tr * t_tr * 0.25 - det, 0.0))
+        l1 = t_tr * 0.5 + sqr
+        l2 = jnp.maximum(t_tr * 0.5 - sqr, 0.0)
+        x = jnp.where(b != 0.0, l1 - d, 1.0)
+        angle = atan2_approx(b, x)
+        angle = angle + jnp.where(angle < 0.0, jnp.float32(3.14159265358979), 0.0)
+        sl1 = jnp.sqrt(l1)
+        sl2 = jnp.sqrt(l2)
+        coh = (sl1 - sl2) / (sl1 + sl2 + 1e-17)
+        ai = jnp.clip(
+            jnp.floor(angle * (qangle / 3.14159265358979)).astype(jnp.int32),
+            0,
+            qangle - 1,
+        )
+        si = jnp.zeros_like(ai)
+        for edge in qstr:
+            si = si + (jnp.float32(edge) <= l1).astype(jnp.int32)
+        ci = jnp.zeros_like(ai)
+        for edge in qcoh:
+            ci = ci + (jnp.float32(edge) <= coh).astype(jnp.int32)
+        bkt_scr[c0][0:n_vert, :] = (
+            ai * (qstrength * qcoherence) + si * qcoherence + ci
+        )
+
+    # ---- PT assembly + matmul + select, raw rows t in [-1, band+2) ---------
+    n = rowbatch * w2p
+    n_blocks = patch_size + 1
+    k_dim = n_blocks * BLOCK
+    dims = (((1,), (0,)), ((), ()))
+
+    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
+    for blk in range(mxu_passes):
+        for j in range(n_blocks):
+            pt_ref[
+                blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
+            ] = zpad
+
+    n_k = tb2 + 2  # phase rows per r0 (incl. the -1/+1 halo rows)
+    for r0 in range(2):
+        for kb in range(0, n_k, rowbatch):
+            for b in range(rowbatch):
+                # full row t = 2*(kb+b) + r0 - 2; patch top local = t + 2
+                r = 2 * (kb + b) + r0  # = t + 2 directly
+                for j in range(n_blocks):
+                    parity = (j + 1) % 2
+                    off = (j + 1) // 2
+                    plane = ce_s if parity == 0 else co_s
+                    block = plane[r : r + patch_size, off : off + w2p]
+                    pt_ref[
+                        j * BLOCK : j * BLOCK + patch_size,
+                        b * w2p : (b + 1) * w2p,
+                    ] = block
+                    if mxu_passes >= 2:
+                        pt_ref[
+                            k_dim + j * BLOCK : k_dim + j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = block
+                    if mxu_passes >= 3:
+                        planel = cel_s if parity == 0 else col_s
+                        pt_ref[
+                            2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
+                            b * w2p : (b + 1) * w2p,
+                        ] = planel[r : r + patch_size, off : off + w2p]
+
+            for c0 in range(2):
+                f_ref = fs[2 * r0 + c0]
+                gt = lax.dot_general(
+                    f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+                )
+                # bucket row for raw row t: vert index t+1 = 2*(kb+b)+r0-1
+                idx = jnp.concatenate(
+                    [
+                        bkt_scr[c0][
+                            max(2 * (kb + b) + r0 - 1, 0) : max(2 * (kb + b) + r0 - 1, 0) + 1, :
+                        ]
+                        for b in range(rowbatch)
+                    ],
+                    axis=1,
+                )
+                sel = _tree_select(gt, idx)
+                for b in range(rowbatch):
+                    # raw scratch row = t + 2 = 2*(kb+b) + r0
+                    rr = 2 * (kb + b) + r0
+                    raw_scr[c0][rr : rr + 1, :] = sel[:, b * w2p : (b + 1) * w2p]
+
+    # ---- epilogue: reject + zone masks + census blend + rounding ------------
+    i_band = pl.program_id(0)
+    g0 = i_band * band  # global full row of band row 0
+    lane_iota = lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 0) + (g0 - 1)
+
+    # hr buffer rows t in [-1, band+1): reject-fixed, proc-masked
+    hr = {}
+    lrx = {}
+    for c0, plane in ((0, cf_e), (1, cf_o)):
+        lr_ext = plane[6 : 6 + band + 2, 3 : 3 + w2p]  # rows t in [-1, band+1)
+        raw_ext = raw_scr[c0][1 : 1 + band + 2, :]
+        keep = (raw_ext > float(min_val)) & (raw_ext < float(max_val))
+        f_ids = 2 * lane_iota + c0
+        proc = (
+            (row_iota >= 6)
+            & (row_iota < h_total - 6)
+            & (f_ids >= 6)
+            & (f_ids < col_end)
+        )
+        hr[c0] = jnp.where(keep & proc, raw_ext, lr_ext)
+        lrx[c0] = lr_ext
+
+    # Precompute the only two non-trivial lane rolls on the full (band+2)-row
+    # buffers (Mosaic rejects pltpu.roll on row-offset sub-slices): for even
+    # center lanes the left neighbor is the odd plane rolled right; for odd
+    # center lanes the right neighbor is the even plane rolled left.
+    rolled = {}
+    for c0 in range(2):
+        for sh in (-1, 0, 1):
+            rolled[(c0, sh)] = (
+                (_roll(lrx[c0], -sh), _roll(hr[c0], -sh))
+                if sh
+                else (lrx[c0], hr[c0])
+            )
+
+    for c0 in range(2):
+        lr_c = lrx[c0][1 : 1 + band, :]  # center rows t in [0, band)
+        hr_c = hr[c0][1 : 1 + band, :]
+        ham = jnp.zeros((band, w2p), jnp.float32)
+        cen = jnp.zeros((band, w2p), jnp.float32)
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                if dc == 0:
+                    ln = lrx[c0][1 + dr : 1 + dr + band, :]
+                    hn = hr[c0][1 + dr : 1 + dr + band, :]
+                else:
+                    oc = 1 - c0
+                    # f+dc has parity oc at plane idx ci + (c0 + dc - oc)//2
+                    sh = (c0 + dc - oc) // 2
+                    lf, hf = rolled[(oc, sh)]
+                    ln = lf[1 + dr : 1 + dr + band, :]
+                    hn = hf[1 + dr : 1 + dr + band, :]
+                lbit = (ln < lr_c).astype(jnp.float32)
+                if blending == 2:
+                    hbit = (hn < hr_c).astype(jnp.float32)
+                    ham = ham + jnp.abs(lbit - hbit)
+                else:
+                    cen = cen + lbit
+
+        if blending == 2:
+            weight = ham * (1.0 / 8.0)
+            val = weight * lr_c + (1.0 - weight) * hr_c
+        else:
+            weight = cen * (1.0 / 8.0)
+            val = weight * hr_c + (1.0 - weight) * lr_c
+        val = jnp.clip(jnp.floor(val + 0.5), float(min_val), float(max_val))
+
+        # build the center-row iotas directly at [band, w2p] — Mosaic rejects
+        # sublane-misaligned row-slices of iota values
+        f_ids = 2 * lax.broadcasted_iota(jnp.int32, (band, w2p), 1) + c0
+        g_rows = lax.broadcasted_iota(jnp.int32, (band, w2p), 0) + (g0 + 1)
+        if blending == 2:
+            zone = (
+                (g_rows >= 1)
+                & (g_rows < h_total - 1)
+                & (f_ids >= 1)
+                & (f_ids < w_total - 1)
+            )
+        else:
+            zone = (
+                (g_rows >= 6)
+                & (g_rows < h_total - 6)
+                & (f_ids >= 6)
+                & (f_ids < col_end)
+            )
+        out_ref[:, c0 * w2p : (c0 + 1) * w2p] = jnp.where(zone, val, lr_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
+        "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
+        "blending", "exact_edges", "tb2", "interpret",
+    ),
+)
+def raisr_pass_pallas_full(
+    cheap: jnp.ndarray,  # [H, W] f32 (integer-valued)
+    filters: jnp.ndarray,  # [864, 128] f32
+    k1d: tuple,
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int = 24,
+    qstrength: int = 3,
+    qcoherence: int = 3,
+    patch_size: int = 11,
+    patch_margin: int = 5,
+    mxu_passes: int = 2,
+    min_val: int = 16,
+    max_val: int = 235,
+    blending: int = 2,
+    exact_edges: bool = True,
+    tb2: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One complete RAISR pass (ratio 2), fused end to end."""
+    from raisr_tpu.ops.pipeline import processed_col_end
+
+    pixel_types = 4
+    h, w = cheap.shape
+    m = patch_size // 2
+    n_taps = patch_size * patch_size
+    k_dim = (patch_size + 1) * BLOCK
+    band = 2 * tb2
+    rowbatch = tb2 + 2  # one matmul per (r0, c0) covering rows [-1, band+2)
+
+    h2 = -(-h // 2)
+    w2 = -(-w // 2)
+    h2p = _pad_to(h2, tb2)
+    w2p = _pad_to(w2, 128)
+    plane_w = w2p + 128
+
+    n_tiles = h2p // tb2
+    top = m + 2  # raw halo rows need tensor rows -6 and their gradients
+    bottom = (n_tiles + 1) * band - (h + top)
+    left = m + 1
+    right = 2 * plane_w - w - left
+
+    padded = jnp.pad(cheap, ((top, bottom), (left, right)))
+    planes = [padded[:, 0::2], padded[:, 1::2]]
+    if mxu_passes >= 3:
+        lo = padded - _round_bf16(padded)
+        planes.append(lo[:, 0::2])
+        planes.append(lo[:, 1::2])
+
+    f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
+    n_blocks = patch_size + 1
+    f_phase = []
+    for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
+        fp = jnp.zeros((NBP, n_blocks, BLOCK), jnp.float32)
+        fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
+            jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
+        )
+        fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))
+        parts = [fhi, flo, fhi][:mxu_passes]
+        f_phase.append(jnp.concatenate(parts, axis=1))
+
+    plane_spec = pl.BlockSpec(
+        (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    f_spec = pl.BlockSpec(
+        (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _full_kernel,
+        tb2=tb2,
+        w2p=w2p,
+        plane_w=plane_w,
+        patch_size=patch_size,
+        mxu_passes=mxu_passes,
+        band=band,
+        rowbatch=rowbatch,
+        k1d=k1d,
+        nf=nf,
+        qstr=qstr,
+        qcoh=qcoh,
+        qangle=qangle,
+        qstrength=qstrength,
+        qcoherence=qcoherence,
+        h_total=h,
+        w_total=w,
+        min_val=min_val,
+        max_val=max_val,
+        blending=blending,
+        col_end=processed_col_end(w, m + 1, exact_edges),
+    )
+    scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
+    n_stage = 2 if mxu_passes < 3 else 4
+    scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
+    scratch += [pltpu.VMEM((band + 8, w2p), jnp.int32) for _ in range(2)]
+    scratch += [pltpu.VMEM((band + 8, w2p), jnp.float32) for _ in range(2)]
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16))
+
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.append(pln[: n_tiles * band].reshape(n_tiles, band, plane_w))
+        plane_args.append(
+            pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs + [f_spec] * 4,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, *f_phase)
+    out = out.reshape(2 * h2p, 2 * w2p)
+
+    oute = out[:, :w2p]
+    outo = out[:, w2p : 2 * w2p]
+    full = jnp.stack([oute, outo], axis=2).reshape(2 * h2p, 2 * w2p)
+    return full[:h, :w]

@@ -103,13 +103,14 @@ def raisr_pass(
     lm = s.loop_margin
 
     if s.backend == "pallas" and s.use_pixel_type and s.bank_edges:
-        # fully fused: gradients + structure tensor + hash + filter in one
-        # kernel (nothing but the cheap plane and the output touch HBM)
+        # whole pass in one kernel: gradients + structure tensor + hash +
+        # filter + reject + census blend + rounding (only the cheap plane
+        # and the final output touch HBM)
         from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
-        from raisr_tpu.ops.pallas.filter_kernel import apply_filters_hash_pallas
+        from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
 
         edges = s.bank_edges[pass_idx]
-        raw = apply_filters_hash_pallas(
+        return raisr_pass_pallas_full(
             cheap,
             filters,
             k1d=tuple(float(v) for v in gaussian_kernel_1d(s.patch_size)),
@@ -122,10 +123,12 @@ def raisr_pass(
             patch_size=s.patch_size,
             patch_margin=s.patch_margin,
             mxu_passes=s.mxu_passes,
-            tb2=16,
-            rowbatch=16,
+            min_val=s.min_val,
+            max_val=s.max_val,
+            blending=int(s.blending),
+            exact_edges=s.exact_edges,
+            tb2=16,  # fastest measured band height at 4K (tools/tpu_check.py)
         )
-        return _finish_pass(cheap, raw, s)
 
     gx, gy = hashing.gradients(cheap)
     if s.backend == "pallas":

@@ -65,3 +65,47 @@ def test_fused_matches_xla_path(mxu_passes, bits, tb2, rb):
     frac_big = (diff > 0.5).mean()
     assert frac_big < 0.005, (frac_big, diff.max())
     assert np.median(diff) < 5e-3
+
+
+@pytest.mark.parametrize("blending", [1, 2])
+def test_full_pass_kernel_matches_xla(blending):
+    """Whole-pass fused kernel (hash+filter+epilogue) vs the taps pipeline."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig, BlendingMode
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.ops.pipeline import pass_statics, raisr_pass, _finish_pass
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, blending=BlendingMode(blending))
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    statics_taps = pass_statics(cfg, model, "taps")
+
+    img = _smooth(48, 64, 8, seed=21)
+    # XLA reference uses the separable tensor to match the kernel's hashing
+    import dataclasses
+    statics_ref = dataclasses.replace(statics_taps, backend="taps")
+    ref = np.asarray(
+        raisr_pass(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            jnp.asarray(bank.qstr), jnp.asarray(bank.qcoh), statics_ref, 0,
+        )
+    )
+    out = np.asarray(
+        raisr_pass_pallas_full(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+            nf=normalization_factor(8),
+            qstr=tuple(float(v) for v in bank.qstr),
+            qcoh=tuple(float(v) for v in bank.qcoh),
+            min_val=cfg.min_val, max_val=cfg.max_val,
+            blending=blending, interpret=True,
+        )
+    )
+    diff = np.abs(out - ref)
+    # literal-table vs separable tensor + fp tie flips: a small fraction of
+    # pixels may pick adjacent buckets; everything else must be exact
+    assert (diff > 0).mean() < 0.02, (diff > 0).mean()
+    assert np.median(diff) == 0.0
