@@ -325,7 +325,7 @@ def _full_kernel(
     static_argnames=(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
-        "blending", "exact_edges", "tb2", "interpret",
+        "blending", "exact_edges", "tb2", "rowbatch", "interpret",
     ),
 )
 def raisr_pass_pallas_full(
@@ -346,6 +346,7 @@ def raisr_pass_pallas_full(
     blending: int = 2,
     exact_edges: bool = True,
     tb2: int = 8,
+    rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """One complete RAISR pass (ratio 2), fused end to end."""
@@ -357,7 +358,10 @@ def raisr_pass_pallas_full(
     n_taps = patch_size * patch_size
     k_dim = (patch_size + 1) * BLOCK
     band = 2 * tb2
-    rowbatch = tb2 + 2  # one matmul per (r0, c0) covering rows [-1, band+2)
+    if rowbatch <= 0:
+        rowbatch = tb2 + 2  # one matmul per (r0, c0) covering rows [-1, band+2)
+    if (tb2 + 2) % rowbatch:
+        raise ValueError("rowbatch must divide tb2 + 2")
 
     h2 = -(-h // 2)
     w2 = -(-w // 2)
