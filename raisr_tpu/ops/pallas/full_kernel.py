@@ -196,17 +196,17 @@ def _full_kernel(
                         j * BLOCK : j * BLOCK + patch_size,
                         b * w2p : (b + 1) * w2p,
                     ] = block
-                    if mxu_passes >= 2:
-                        pt_ref[
-                            k_dim + j * BLOCK : k_dim + j * BLOCK + patch_size,
-                            b * w2p : (b + 1) * w2p,
-                        ] = block
                     if mxu_passes >= 3:
                         planel = cel_s if parity == 0 else col_s
                         pt_ref[
                             2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
                             b * w2p : (b + 1) * w2p,
                         ] = planel[r : r + patch_size, off : off + w2p]
+
+            if mxu_passes >= 2:
+                # duplicate the hi patch block for the K-packed lo filters in
+                # one bulk scratch-to-scratch copy instead of per-block writes
+                pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
 
             for c0 in range(2):
                 f_ref = fs[2 * r0 + c0]
