@@ -49,6 +49,11 @@ class TrainConfig:
     qcoh: tuple[float, ...] = (0.192916, 0.405942)
     lam: float = 0.01  # Tikhonov regularization for the normal equations
     chunk: int = 2048  # pixels per one-hot contraction chunk
+    # accumulate each pair under all 8 dihedral transforms (rot90/flip of
+    # both images), the standard RAISR augmentation: buckets for rotated
+    # content are filled from unrotated sources, roughly octupling the
+    # effective training set (RAISR paper sec. IV-C)
+    augment_symmetry: bool = False
 
     @property
     def pixel_types(self) -> int:
@@ -167,6 +172,24 @@ def solve_filters(q: jnp.ndarray, v: jnp.ndarray, cfg: TrainConfig) -> jnp.ndarr
     return jnp.pad(w, ((0, 0), (0, aligned - n_taps)))
 
 
+def _dihedral_transforms(lr, hr, enabled: bool):
+    """Yield (lr, hr) under the dihedral group D4 (identity only if disabled).
+
+    Transforming the image pairs themselves (instead of permuting buckets and
+    filter taps) keeps the hash/accumulation path identical for every
+    orientation."""
+    lr = np.asarray(lr)
+    hr = np.asarray(hr)
+    if not enabled:
+        yield lr, hr
+        return
+    for flip in (False, True):
+        lr_f = lr[:, ::-1] if flip else lr
+        hr_f = hr[:, ::-1] if flip else hr
+        for k in range(4):
+            yield np.rot90(lr_f, k), np.rot90(hr_f, k)
+
+
 def train_filterbank(
     pairs: Iterable[tuple[np.ndarray, np.ndarray]],
     cfg: TrainConfig,
@@ -174,10 +197,13 @@ def train_filterbank(
     """Train from (lr, hr) uint pairs (single device)."""
     q, v = init_accumulators(cfg)
     for lr, hr in pairs:
-        hr = jnp.asarray(hr, jnp.float32)
-        out_h, out_w = hr.shape
-        cheap = cheap_upscale(jnp.asarray(lr, jnp.float32), out_h, out_w, cfg.bits)
-        q, v = accumulate_pair(q, v, cheap, hr, cfg)
+        for lr_t, hr_t in _dihedral_transforms(lr, hr, cfg.augment_symmetry):
+            hr_t = jnp.asarray(hr_t, jnp.float32)
+            out_h, out_w = hr_t.shape
+            cheap = cheap_upscale(
+                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits
+            )
+            q, v = accumulate_pair(q, v, cheap, hr_t, cfg)
     filters = solve_filters(q, v, cfg)
     return FilterBank(
         filters=np.asarray(filters),

@@ -94,3 +94,72 @@ class TestTrainer:
         sharded = np.asarray(train_step_sharded(lr_batch, hr_batch, cfg, mesh))
         single = train_filterbank(pairs, cfg)
         np.testing.assert_allclose(sharded, single.filters, rtol=2e-3, atol=2e-4)
+
+
+class TestSymmetryAugmentation:
+    def test_augmented_bank_rotation_consistent(self):
+        """A bank trained with D4 augmentation upscales a rotated image to
+        (nearly) the rotation of the upscaled original."""
+        from raisr_tpu.ops.pipeline import pass_statics, raisr_pass
+        from raisr_tpu.model.loader import RaisrModel
+
+        cfg = TrainConfig(lam=0.05)
+        pairs = _pairs(3, 16, 16, seed=4)
+        bank = train_filterbank(pairs, TrainConfig(lam=0.05, augment_symmetry=True))
+
+        rcfg = RaisrConfig(filterfolder="unused", passes=1)
+        model = RaisrModel(
+            qangle=24, qstrength=3, qcoherence=3, patch_size=11, banks=[bank]
+        )
+        s = pass_statics(rcfg, model, "taps")
+        rng = np.random.default_rng(9)
+        img = rng.normal(size=(32, 32))
+        for ax in (0, 1):
+            img = np.apply_along_axis(
+                lambda r: np.convolve(r, np.ones(3) / 3, "same"), ax, img
+            )
+        img = np.floor((img - img.min()) / (img.max() - img.min() + 1e-9) * 219 + 16)
+        img = img.astype(np.float32)
+
+        args = (
+            jnp.asarray(bank.filters),
+            jnp.asarray(bank.qstr),
+            jnp.asarray(bank.qcoh),
+        )
+        out = np.asarray(raisr_pass(jnp.asarray(img), *args, s, 0))
+        out_rot = np.asarray(raisr_pass(jnp.asarray(np.rot90(img).copy()), *args, s, 0))
+        # interior only: border zones are orientation-dependent by design
+        a = np.rot90(out)[8:-8, 8:-8]
+        b = out_rot[8:-8, 8:-8]
+        frac_big = (np.abs(a - b) > 2).mean()
+        assert frac_big < 0.02, frac_big
+
+    def test_augmentation_octuples_observations(self):
+        from raisr_tpu.train.trainer import init_accumulators, accumulate_pair
+        from raisr_tpu.train.trainer import _dihedral_transforms
+
+        lr = _pairs(1, 12, 12, seed=1)[0][0]
+        ts = list(_dihedral_transforms(lr, lr, True))
+        assert len(ts) == 8
+        # all 8 orientations are distinct images for generic content
+        flat = {t[0].tobytes() for t in ts}
+        assert len(flat) == 8
+
+
+class TestBatchedEngine:
+    def test_process_batch_matches_per_frame(self):
+        from raisr_tpu.engine import RaisrEngine
+
+        cfg = RaisrConfig(
+            filterfolder="/root/reference/filters_2x/filters_highres"
+        )
+        eng = RaisrEngine(cfg)
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(
+            rng.integers(16, 235, size=(3, 24, 32)).astype(np.float32)
+        )
+        out = np.asarray(eng.process_batch_y(batch))
+        ref = np.stack(
+            [np.asarray(eng.upscale_y(batch[i])) for i in range(3)]
+        )
+        np.testing.assert_array_equal(out, ref)
