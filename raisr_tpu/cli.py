@@ -177,13 +177,15 @@ def cmd_bench(args) -> int:
     lr = jnp.asarray(
         rng.integers(16, 235, size=(args.height, args.width)).astype(np.float32)
     )
-    engine.upscale_y(lr).block_until_ready()  # compile
+    # distinct input per iteration + host-fetch fence: remote-execution
+    # backends no-op block_until_ready and cache identical dispatches
+    # (docs/PERFORMANCE.md, measurement methodology)
+    salt = np.float32(time.time_ns() % 251)
+    float(jnp.sum(engine.upscale_y(lr + salt)))  # compile + fence
     start = time.perf_counter()
-    out = None
-    for _ in range(args.frames):
-        out = engine.upscale_y(lr)
-    out.block_until_ready()
-    elapsed = time.perf_counter() - start
+    outs = [engine.upscale_y(lr + salt + np.float32(i % 7)) for i in range(args.frames)]
+    float(jnp.sum(outs[-1]))  # device executes in order: fencing the last
+    elapsed = time.perf_counter() - start  # fences the chain
     fps = args.frames / elapsed
     print(
         json.dumps(
