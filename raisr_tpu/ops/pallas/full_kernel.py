@@ -25,7 +25,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raisr_tpu.ops.pallas.filter_kernel import (
     NB,
-    NBP,
     BLOCK,
     _round_bf16,
     _split_hi_lo,
@@ -387,11 +386,11 @@ def raisr_pass_pallas_full(
     f_phase = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
-        fp = jnp.zeros((NBP, n_blocks, BLOCK), jnp.float32)
+        fp = jnp.zeros((NB, n_blocks, BLOCK), jnp.float32)
         fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
             jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
         )
-        fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))
+        fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
         parts = [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
 
@@ -399,7 +398,7 @@ def raisr_pass_pallas_full(
         (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (NBP, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (NB, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec(
         (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
