@@ -127,7 +127,10 @@ def raisr_pass(
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            tb2=16,  # fastest measured band height at 4K (tools/tpu_check.py)
+            # band height: 16 measured fastest at 4K (tools/tpu_check.py);
+            # halve for wide planes so the G tensor + patch-matrix scratch
+            # (both ~ (tb2+2)*w/2) stay inside the scoped-VMEM limit
+            tb2=16 if w <= 4608 else 8,
         )
 
     gx, gy = hashing.gradients(cheap)
