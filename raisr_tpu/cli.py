@@ -26,7 +26,7 @@ from raisr_tpu.engine import RaisrEngine, Frame
 
 
 def _add_common(p: argparse.ArgumentParser):
-    p.add_argument("--filterfolder", default="/root/reference/filters_2x/filters_lowres")
+    p.add_argument("--filterfolder", default="filters_2x/filters_lowres")
     p.add_argument("--ratio", type=float, default=2.0)
     p.add_argument("--bits", type=int, default=8, choices=[8, 10, 16])
     p.add_argument("--range", dest="range_", default="video", choices=["video", "full"])

@@ -33,8 +33,13 @@ def _resolve_backend(cfg: RaisrConfig) -> str:
         return "conv"
     if cfg.backend == Backend.PALLAS:
         return "pallas"
-    # AUTO: fused Pallas kernel on TPU, exact taps formulation elsewhere.
-    return "taps" if jax.default_backend() == "cpu" else "pallas"
+    # AUTO: the fused Pallas kernels use TPU-only Mosaic primitives
+    # (pltpu.roll, VMEM scratch), so select them only on a TPU backend;
+    # exact taps on CPU, the conv formulation on other accelerators.
+    backend = jax.default_backend()
+    if backend == "tpu":
+        return "pallas"
+    return "taps" if backend == "cpu" else "conv"
 
 
 @dataclasses.dataclass

@@ -48,9 +48,20 @@ def planar_to_nv12(u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 def y4m_frame_offsets(path: str, frame_bytes: int) -> list[int]:
-    """Payload byte offsets of every complete frame in a Y4M file."""
+    """Payload byte offsets of every complete frame in a Y4M file.
+
+    A truncated final frame is excluded by checking each frame's end offset
+    against the real file size (seek past EOF succeeds and tell() reports the
+    target position, so seek+tell alone cannot detect truncation)."""
+    import os
+
+    file_size = os.path.getsize(path)
     if HAVE_NATIVE:
-        return list(_raisrio.y4m_scan(path, frame_bytes))
+        return [
+            pos
+            for pos in _raisrio.y4m_scan(path, frame_bytes)
+            if pos + frame_bytes <= file_size
+        ]
     offsets = []
     with open(path, "rb") as f:
         f.readline()
@@ -61,9 +72,9 @@ def y4m_frame_offsets(path: str, frame_bytes: int) -> list[int]:
             if not line.startswith(b"FRAME"):
                 raise ValueError("corrupt Y4M: missing FRAME marker")
             pos = f.tell()
-            f.seek(frame_bytes, 1)
-            if f.tell() - pos < frame_bytes:
+            if pos + frame_bytes > file_size:
                 break
+            f.seek(frame_bytes, 1)
             offsets.append(pos)
     return offsets
 

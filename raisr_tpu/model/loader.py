@@ -138,6 +138,11 @@ def _read_filterbin(
     dtype_tag = raw[:4].decode("latin-1")
     if dtype_tag not in ("fp32", "fp16"):
         raise RaisrError(f"hashtable corrupted: {path}")
+    # Intentional extension vs the reference: an fp16-tagged file loads on
+    # any engine dtype (upconverted to f32), whereas the reference's f32
+    # build rejects it via its sizeof(DT) size check (Raisr.cpp:335-356)
+    # and only the FP16 build accepts it. One loader serving every
+    # precision tier replaces per-ISA builds; documented in docs/PARITY.md.
     weight_size = 4 if dtype_tag == "fp32" else 2
     hashkey_size, pixel_types, rows = struct.unpack_from("<III", raw, 4)
 

@@ -45,6 +45,14 @@ def make_mesh(n_devices: int | None = None, axis_names=("data", "rows")) -> Mesh
     """Mesh over available devices: frames x row-stripes."""
     devices = jax.devices()
     n = n_devices if n_devices is not None else len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"make_mesh: {n} devices requested but only {len(devices)} "
+            f"visible on platform '{devices[0].platform}' — for a virtual "
+            "multi-device CPU mesh set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} before JAX "
+            "initializes a backend"
+        )
     devices = np.asarray(devices[:n])
     if len(axis_names) == 1:
         shape = (n,)

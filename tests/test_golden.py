@@ -5,12 +5,18 @@ fixtures' git history only when a semantic change is *intended*."""
 
 import glob
 import os
+import pathlib
 
 import numpy as np
 import pytest
 
 from raisr_tpu.config import RaisrConfig, BlendingMode
 from raisr_tpu.engine import RaisrEngine, Frame
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path("/root/reference").exists(),
+    reason="reference filter banks not available",
+)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 

@@ -1,8 +1,12 @@
 """Fully-fused hash+filter kernel: interpret-mode parity vs the XLA path."""
 
+import pathlib
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
 
 from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
 from raisr_tpu.ops import hashing
@@ -68,6 +72,9 @@ def test_fused_matches_xla_path(mxu_passes, bits, tb2, rb):
 
 
 @pytest.mark.parametrize("blending", [1, 2])
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
 def test_full_pass_kernel_matches_xla(blending):
     """Whole-pass fused kernel (hash+filter+epilogue) vs the taps pipeline."""
     import jax.numpy as jnp

@@ -7,12 +7,19 @@ filter. We therefore require an overwhelming majority of exactly-equal output
 pixels rather than bitwise equality.
 """
 
+import pathlib
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
 
 import np_oracle
 from raisr_tpu.config import RaisrConfig, BlendingMode
+
+pytestmark = pytest.mark.skipif(
+    not pathlib.Path("/root/reference").exists(),
+    reason="reference filter banks not available",
+)
 from raisr_tpu.engine import RaisrEngine, Frame
 from raisr_tpu.model.gaussian import gaussian_weights
 from raisr_tpu.model.loader import load_model
