@@ -6,8 +6,12 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <dlfcn.h>
+
 #include <cstdio>
+#include <cstdlib>
 #include <mutex>
+#include <string>
 
 #include "../../include/raisr_tpu.h"
 
@@ -17,12 +21,38 @@ std::mutex g_mutex;
 bool g_we_initialized_python = false;
 PyObject* g_bridge = nullptr;
 
+// Make the raisr_tpu package importable regardless of how the host process
+// was launched: try $RAISR_TPU_PYTHONPATH, the cwd, and the source tree the
+// shared library was built from (build/capi/libraisr_tpu.so -> repo root).
+void extend_sys_path() {
+  std::string code =
+      "import sys, os\n"
+      "for p in [os.environ.get('RAISR_TPU_PYTHONPATH'), os.getcwd()";
+  Dl_info info;
+  if (dladdr(reinterpret_cast<void*>(&extend_sys_path), &info) &&
+      info.dli_fname) {
+    std::string libdir(info.dli_fname);
+    size_t slash = libdir.rfind('/');
+    if (slash != std::string::npos) {
+      libdir.resize(slash);
+      code += ", '" + libdir + "', '" + libdir + "/../..'";
+    }
+  }
+  code +=
+      "]:\n"
+      "    if p and os.path.isdir(os.path.join(p, 'raisr_tpu')) "
+      "and p not in sys.path:\n"
+      "        sys.path.insert(0, p)\n";
+  PyRun_SimpleString(code.c_str());
+}
+
 bool ensure_python() {
   if (!Py_IsInitialized()) {
     Py_Initialize();
     g_we_initialized_python = true;
   }
   if (!g_bridge) {
+    extend_sys_path();
     g_bridge = PyImport_ImportModule("raisr_tpu.capi_bridge");
     if (!g_bridge) {
       PyErr_Print();
