@@ -1,0 +1,227 @@
+"""Ground-truth parity vs the ACTUAL reference library.
+
+These tests compile the reference sources (/root/reference/Library,
+unmodified) against the minimal IPP shim in tools/refbuild/ and compare
+raisr_tpu's output with the reference binary's output on the same inputs —
+the BASELINE.md "PSNR within 0.05 dB of AVX-512 reference output" check,
+measured for real rather than against self-authored goldens.
+
+Established facts these tests encode (see docs/PARITY.md "Reference
+cross-validation"):
+  - The reference's own AVX2 and AVX512 outputs differ from each other
+    (rsqrt14-approximation bucket flips, Raisr_AVX512.cpp:175-258): by
+    <=1 LSB at 8-bit but max ~31 / 65% of pixels at 10-bit. "Parity" is
+    therefore judged as: at least as close to AVX-512 output as the
+    reference's own AVX2 backend is.
+  - In Randomness mode the reference never writes the ragged-edge notch of
+    the LAST processed row (the per-row edge memcpy at Raisr.cpp:1252-1265
+    copies row r-1's right edge, so row endRow-1 gets no copy; with
+    CountOfBitsChanged the final blend pass covers it). Those bytes stay
+    uninitialized in the reference output; the comparison masks that row.
+"""
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE_ROOT = os.environ.get("REFERENCE_ROOT", "/root/reference")
+HARNESS = os.path.join(REPO, "build", "refbuild", "ref_harness")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE_ROOT, "Library"))
+    or shutil.which("g++") is None,
+    reason="reference sources or toolchain unavailable",
+)
+
+W, H = 96, 64
+
+
+def _build_harness():
+    if not os.path.exists(HARNESS):
+        subprocess.run(
+            [os.path.join(REPO, "tools", "refbuild", "build_reference.sh")],
+            check=True, capture_output=True, timeout=600,
+        )
+    return HARNESS
+
+
+def _content(bits: int, seed: int = 3) -> np.ndarray:
+    """Structured test content: gradients + edges + texture + noise."""
+    rng = np.random.default_rng(seed)
+    x, y = np.meshgrid(np.arange(W), np.arange(H))
+    scale = (1 << bits) / 256.0
+    img = (60 + 80 * np.sin(x / 9.0) + 60 * (y > H // 2)
+           + 40 * np.sin((x + y) / 5.0) + rng.normal(0, 6, (H, W))) * scale
+    lo, hi = (16, 235) if bits == 8 else (64, 940)
+    dtype = np.uint8 if bits == 8 else np.uint16
+    return np.clip(img, lo, hi).astype(dtype)
+
+
+def _write_yuv(path: str, yp: np.ndarray, bits: int):
+    mid = 128 if bits == 8 else 512
+    u = np.full((H // 2, W // 2), mid, yp.dtype)
+    with open(path, "wb") as f:
+        f.write(yp.tobytes())
+        f.write(u.tobytes())
+        f.write(u.tobytes())
+
+
+def _run_reference(tmp, yp, *, folder, ratio=2.0, bits=8, rng_t=1, threads=1,
+                   asm=2, passes=1, mode=1, blending=2):
+    """Run the compiled reference; returns the output Y plane."""
+    harness = _build_harness()
+    inp = os.path.join(tmp, f"in_{bits}.yuv")
+    outp = os.path.join(tmp, f"out_{asm}_{passes}_{blending}_{mode}.yuv")
+    _write_yuv(inp, yp, bits)
+    r = subprocess.run(
+        [harness, os.path.join(REFERENCE_ROOT, folder), str(ratio), str(bits),
+         str(rng_t), str(threads), str(asm), str(passes), str(mode),
+         str(blending), str(W), str(H), inp, outp],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    ow, oh = int(W * ratio), int(H * ratio)
+    dtype = np.uint8 if bits == 8 else np.uint16
+    n = ow * oh * dtype().itemsize
+    return np.frombuffer(open(outp, "rb").read()[:n], dtype).reshape(oh, ow)
+
+
+def _run_mine(yp, *, folder, ratio=2.0, bits=8, rng_t=1, passes=1, mode=1,
+              blending=2):
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+
+    cfg = RaisrConfig(
+        filterfolder=os.path.join(REFERENCE_ROOT, folder), ratio=ratio,
+        bits=bits, range=rng_t - 1, passes=passes, mode=mode,
+        blending=blending, backend="reference",
+    )
+    return RaisrEngine(cfg).process(Frame(y=yp)).y
+
+
+def _psnr(a, b, peak):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(peak * peak / mse)
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("lowres_p1", dict(folder="filters_2x/filters_lowres")),
+        ("highres_p2_t4", dict(folder="filters_2x/filters_highres", passes=2,
+                               threads=4)),
+        ("highres_p2_mode2", dict(folder="filters_2x/filters_highres",
+                                  passes=2, mode=2)),
+        ("denoise_p2_mode2", dict(folder="filters_2x/filters_denoise",
+                                  passes=2, mode=2)),
+        ("fullrange", dict(folder="filters_2x/filters_highres", rng_t=2)),
+        ("ratio15", dict(folder="filters_1.5x/filters_highres", ratio=1.5)),
+    ],
+)
+def test_8bit_matches_avx512(tmp_path, name, kw):
+    """8-bit CoBC outputs must be essentially identical to the AVX-512
+    reference binary (the reference's own ISA spread at 8-bit is <=1 LSB)."""
+    yp = _content(8)
+    mine_kw = {k: v for k, v in kw.items() if k != "threads"}
+    ref = _run_reference(str(tmp_path), yp, asm=2, **kw)
+    mine = _run_mine(yp, **mine_kw)
+    p = _psnr(mine, ref, 255.0)
+    maxd = np.abs(mine.astype(int) - ref.astype(int)).max()
+    assert p >= 55.0, f"{name}: PSNR vs reference {p:.2f} dB"
+    assert maxd <= 8, f"{name}: max |diff| {maxd}"
+
+
+def test_randomness_blend(tmp_path):
+    """Randomness blending, masking the last processed row (see module
+    docstring: the reference leaves its ragged-edge notch unwritten)."""
+    yp = _content(8)
+    kw = dict(folder="filters_2x/filters_highres", blending=1)
+    ref = _run_reference(str(tmp_path), yp, asm=2, **kw).astype(int)
+    mine = _run_mine(yp, **kw).astype(int)
+    oh = ref.shape[0]
+    mask = np.ones_like(ref, bool)
+    mask[oh - 7, :] = False  # last processed row: reference's unwritten notch
+    d = np.abs(mine - ref)[mask]
+    mse = float((d.astype(np.float64) ** 2).mean())
+    p = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert p >= 55.0 and d.max() <= 8, (p, d.max())
+
+
+def test_10bit_within_reference_isa_envelope(tmp_path):
+    """At 10-bit the reference's AVX2 and AVX512 disagree heavily (rsqrt14
+    bucket flips). Require raisr_tpu to be AT LEAST as close to the AVX-512
+    output as the reference's own AVX2 build is, and nearly identical to
+    the exact-sqrt AVX2 build."""
+    yp = _content(10)
+    kw = dict(folder="filters_2x/filters_highres", bits=10)
+    ref512 = _run_reference(str(tmp_path), yp, asm=2, **kw)
+    ref256 = _run_reference(str(tmp_path), yp, asm=1, **kw)
+    mine = _run_mine(yp, **kw)
+    p_mine_512 = _psnr(mine, ref512, 1023.0)
+    p_256_512 = _psnr(ref256, ref512, 1023.0)
+    p_mine_256 = _psnr(mine, ref256, 1023.0)
+    assert p_mine_512 >= p_256_512 - 0.5, (p_mine_512, p_256_512)
+    assert p_mine_256 >= 65.0, p_mine_256
+
+
+def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
+    """BASELINE.md criterion, measured directly: upscale a downscaled image
+    and compare PSNR-vs-original between raisr_tpu and the reference;
+    the two PSNRs must agree within 0.05 dB."""
+    rng = np.random.default_rng(9)
+    x, y = np.meshgrid(np.arange(2 * W), np.arange(2 * H))
+    hr = np.clip(60 + 80 * np.sin(x / 17.0) + 60 * (y > H)
+                 + 40 * np.sin((x + y) / 9.0) + rng.normal(0, 4, (2 * H, 2 * W)),
+                 16, 235)  # HR ground truth, 192x128
+    lr = np.clip(np.floor(
+        hr.reshape(H, 2, W, 2).mean(axis=(1, 3)) + 0.5), 16, 235
+    ).astype(np.uint8)  # 2x box downscale
+    hr = hr.astype(np.uint8)
+    kw = dict(folder="filters_2x/filters_highres", passes=2)
+    ref = _run_reference(str(tmp_path), lr, asm=2, **kw)
+    mine = _run_mine(lr, **kw)
+    p_ref = _psnr(ref, hr, 255.0)
+    p_mine = _psnr(mine, hr, 255.0)
+    assert abs(p_mine - p_ref) <= 0.05, (p_mine, p_ref)
+
+
+def test_uv_resize_bit_identical(tmp_path):
+    """The cheap-upscale path must match the reference's (shimmed) IPP
+    resize bit-for-bit — verified on the UV planes, which the reference
+    processes with resize only (Raisr.cpp:1373-1388)."""
+    import jax.numpy as jnp
+
+    from raisr_tpu.ops.resize import cheap_upscale
+
+    for bits in (8, 10):
+        yp = _content(bits)
+        harness = _build_harness()
+        inp = os.path.join(str(tmp_path), f"uv_{bits}.yuv")
+        outp = os.path.join(str(tmp_path), f"uv_out_{bits}.yuv")
+        _write_yuv(inp, yp, bits)
+        # make the U plane structured too (the default is flat mid-gray)
+        dtype = np.uint8 if bits == 8 else np.uint16
+        u = yp[: H // 2, : W // 2]
+        with open(inp, "wb") as f:
+            f.write(yp.tobytes())
+            f.write(u.tobytes())
+            f.write(u.tobytes())
+        r = subprocess.run(
+            [harness, os.path.join(REFERENCE_ROOT, "filters_2x/filters_lowres"),
+             "2", str(bits), "1", "1", "2", "1", "1", "2", str(W), str(H),
+             inp, outp],
+            capture_output=True, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        ysz = W * H * 4 * dtype().itemsize
+        usz = (W * H) * dtype().itemsize
+        u_ref = np.frombuffer(
+            open(outp, "rb").read()[ysz:ysz + usz], dtype).reshape(H, W)
+        mine = np.asarray(
+            cheap_upscale(jnp.asarray(u.astype(np.float32)), H, W, bits)
+        ).astype(dtype)
+        assert np.array_equal(mine, u_ref), f"UV resize mismatch at {bits}-bit"
