@@ -1,0 +1,208 @@
+/*
+ * RAISR-TPU video super-resolution filter for FFmpeg.
+ *
+ * Drives the raisr_tpu engine through its C ABI (include/raisr_tpu.h,
+ * libraisr_tpu.so) — the TPU-native counterpart of the reference's
+ * vf_raisr filter (same option surface and lifecycle: options ->
+ * RTPU_Init at filter init; SetRes on the first frame; Process per frame;
+ * see the reference ffmpeg/vf_raisr.c:81-94, 226-333 for the contract
+ * this mirrors).
+ *
+ * Build (FFmpeg n6.x tree, after applying
+ * ffmpeg/0001-add-raisr-tpu-filter.patch):
+ *   ./configure --enable-libraisr_tpu \
+ *       --extra-cflags=-I<repo>/include \
+ *       --extra-ldflags="-L<repo>/build/capi -lraisr_tpu"
+ *
+ * Usage:
+ *   ffmpeg -i in.mp4 -vf "raisr_tpu=ratio=2:passes=2:filterfolder=filters_2x/filters_highres" out.mp4
+ *
+ * NOTE: this file is shipped as integration source; the build container for
+ * raisr_tpu has no FFmpeg tree, so it is validated structurally (the same
+ * frame loop is exercised end-to-end by tools/capi_y4m.c, which is tested
+ * bit-identical to the Python CLI in tests/test_capi.py).
+ */
+
+#include <stdio.h>
+#include <string.h>
+
+#include "libavutil/avassert.h"
+#include "libavutil/imgutils.h"
+#include "libavutil/opt.h"
+#include "libavutil/pixdesc.h"
+#include "avfilter.h"
+#include "filters.h"
+#include "video.h"
+
+#include "raisr_tpu.h"
+
+typedef struct RaisrTpuContext {
+    const AVClass *class;
+    float ratio;
+    int bits;
+    int range;
+    char *filterfolder;
+    int blending;
+    int passes;
+    int mode;
+    int evenoutput;
+    int framecount;
+    int nb_planes;
+} RaisrTpuContext;
+
+#define OFFSET(x) offsetof(RaisrTpuContext, x)
+#define FLAGS (AV_OPT_FLAG_FILTERING_PARAM | AV_OPT_FLAG_VIDEO_PARAM)
+
+static const AVOption raisr_tpu_options[] = {
+    { "ratio", "upscale ratio", OFFSET(ratio), AV_OPT_TYPE_FLOAT,
+      { .dbl = 2.0 }, 1.0, 4.0, FLAGS },
+    { "bits", "bit depth (8|10|16)", OFFSET(bits), AV_OPT_TYPE_INT,
+      { .i64 = 8 }, 8, 16, FLAGS },
+    { "range", "color range (1=video 2=full)", OFFSET(range),
+      AV_OPT_TYPE_INT, { .i64 = 1 }, 1, 2, FLAGS },
+    { "filterfolder", "trained filter-bank folder", OFFSET(filterfolder),
+      AV_OPT_TYPE_STRING, { .str = "filters_2x/filters_lowres" }, 0, 0, FLAGS },
+    { "blending", "1=Randomness 2=CountOfBitsChanged", OFFSET(blending),
+      AV_OPT_TYPE_INT, { .i64 = 2 }, 1, 2, FLAGS },
+    { "passes", "1 or 2", OFFSET(passes), AV_OPT_TYPE_INT,
+      { .i64 = 1 }, 1, 2, FLAGS },
+    { "mode", "two-pass mode: 1=upscale in 1st pass, 2=in 2nd", OFFSET(mode),
+      AV_OPT_TYPE_INT, { .i64 = 1 }, 1, 2, FLAGS },
+    { "evenoutput", "clamp output dims to even", OFFSET(evenoutput),
+      AV_OPT_TYPE_INT, { .i64 = 0 }, 0, 1, FLAGS },
+    { NULL }
+};
+
+AVFILTER_DEFINE_CLASS(raisr_tpu);
+
+static av_cold int init(AVFilterContext *ctx)
+{
+    RaisrTpuContext *s = ctx->priv;
+    RTPUStatus st;
+
+    s->framecount = 0;
+    st = RTPU_Init(s->filterfolder, s->ratio, (unsigned)s->bits,
+                   s->range == 2 ? RTPU_RANGE_FULL : RTPU_RANGE_VIDEO,
+                   (unsigned)s->passes, (unsigned)s->mode);
+    if (st != RTPU_OK) {
+        av_log(ctx, AV_LOG_ERROR, "RTPU_Init failed: %d\n", (int)st);
+        return AVERROR(EINVAL);
+    }
+    return 0;
+}
+
+static const enum AVPixelFormat pix_fmts[] = {
+    AV_PIX_FMT_YUV420P, AV_PIX_FMT_YUV422P, AV_PIX_FMT_YUV444P,
+    AV_PIX_FMT_YUV420P10LE, AV_PIX_FMT_YUV422P10LE, AV_PIX_FMT_YUV444P10LE,
+    AV_PIX_FMT_NONE
+};
+
+static int config_props_output(AVFilterLink *outlink)
+{
+    AVFilterContext *ctx = outlink->src;
+    RaisrTpuContext *s = ctx->priv;
+    AVFilterLink *inlink = ctx->inputs[0];
+
+    outlink->w = (int)(inlink->w * s->ratio);
+    outlink->h = (int)(inlink->h * s->ratio);
+    if (s->evenoutput) {
+        outlink->w -= outlink->w % 2;
+        outlink->h -= outlink->h % 2;
+    }
+    return 0;
+}
+
+static int filter_frame(AVFilterLink *inlink, AVFrame *in)
+{
+    AVFilterContext *ctx = inlink->dst;
+    RaisrTpuContext *s = ctx->priv;
+    AVFilterLink *outlink = ctx->outputs[0];
+    const AVPixFmtDescriptor *desc = av_pix_fmt_desc_get(inlink->format);
+    RTPUPlane pin[3], pout[3];
+    AVFrame *out;
+    RTPUStatus st;
+    int p;
+
+    out = ff_get_video_buffer(outlink, outlink->w, outlink->h);
+    if (!out) {
+        av_frame_free(&in);
+        return AVERROR(ENOMEM);
+    }
+    av_frame_copy_props(out, in);
+
+    s->nb_planes = av_pix_fmt_count_planes(inlink->format);
+    for (p = 0; p < s->nb_planes && p < 3; p++) {
+        int hsub = p ? desc->log2_chroma_w : 0;
+        int vsub = p ? desc->log2_chroma_h : 0;
+
+        pin[p].data = in->data[p];
+        pin[p].width = AV_CEIL_RSHIFT(in->width, hsub);
+        pin[p].height = AV_CEIL_RSHIFT(in->height, vsub);
+        pin[p].step = in->linesize[p];
+
+        pout[p].data = out->data[p];
+        pout[p].width = AV_CEIL_RSHIFT(out->width, hsub);
+        pout[p].height = AV_CEIL_RSHIFT(out->height, vsub);
+        pout[p].step = out->linesize[p];
+    }
+
+    if (s->framecount == 0) {
+        st = RTPU_SetRes(&pin[0], &pin[1], &pin[2],
+                         &pout[0], &pout[1], &pout[2]);
+        if (st != RTPU_OK) {
+            av_log(ctx, AV_LOG_ERROR, "RTPU_SetRes failed: %d\n", (int)st);
+            av_frame_free(&in);
+            av_frame_free(&out);
+            return AVERROR(EINVAL);
+        }
+    }
+
+    st = RTPU_Process(&pin[0], &pin[1], &pin[2],
+                      &pout[0], &pout[1], &pout[2],
+                      (RTPUBlendingMode)s->blending);
+    if (st != RTPU_OK) {
+        av_log(ctx, AV_LOG_ERROR, "RTPU_Process failed: %d\n", (int)st);
+        av_frame_free(&in);
+        av_frame_free(&out);
+        return AVERROR(EINVAL);
+    }
+
+    s->framecount++;
+    av_frame_free(&in);
+    return ff_filter_frame(outlink, out);
+}
+
+static av_cold void uninit(AVFilterContext *ctx)
+{
+    RTPU_Deinit();
+}
+
+static const AVFilterPad raisr_tpu_inputs[] = {
+    {
+        .name = "default",
+        .type = AVMEDIA_TYPE_VIDEO,
+        .filter_frame = filter_frame,
+    },
+};
+
+static const AVFilterPad raisr_tpu_outputs[] = {
+    {
+        .name = "default",
+        .type = AVMEDIA_TYPE_VIDEO,
+        .config_props = config_props_output,
+    },
+};
+
+const AVFilter ff_vf_raisr_tpu = {
+    .name = "raisr_tpu",
+    .description = NULL_IF_CONFIG_SMALL(
+        "TPU-accelerated RAISR video super-resolution (raisr_tpu)"),
+    .priv_size = sizeof(RaisrTpuContext),
+    .init = init,
+    .uninit = uninit,
+    FILTER_INPUTS(raisr_tpu_inputs),
+    FILTER_OUTPUTS(raisr_tpu_outputs),
+    FILTER_PIXFMTS_ARRAY(pix_fmts),
+    .priv_class = &raisr_tpu_class,
+    .flags = AVFILTER_FLAG_SUPPORT_TIMELINE_GENERIC,
+};

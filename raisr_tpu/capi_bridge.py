@@ -9,14 +9,30 @@ reference's global state (Raisr_globals.h), but contained here.
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
+
+# Honor JAX_PLATFORMS for embedded-interpreter consumers: site
+# customizations may register accelerator plugins that ignore the env var,
+# so apply it through jax.config before the first backend use.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:  # backend already initialized; keep it
+        pass
 
 from raisr_tpu.config import RaisrConfig, BlendingMode, RangeType
 from raisr_tpu.engine import RaisrEngine, Frame
 
 _engine: RaisrEngine | None = None
 _cfg: RaisrConfig | None = None
+# blending is a per-Process argument in the reference (RNLProcess); engines
+# for the non-default mode are built once and cached, sharing the loaded
+# model — never rebuilt per frame
+_engines_by_blend: dict[int, RaisrEngine] = {}
 
 
 def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
@@ -32,6 +48,8 @@ def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
             mode=two_pass_mode,
         )
         _engine = RaisrEngine(_cfg)
+        _engines_by_blend.clear()
+        _engines_by_blend[int(_cfg.blending)] = _engine
         return 0
     except Exception as e:  # noqa: BLE001
         print(str(e))
@@ -65,15 +83,17 @@ def process(
             return _view(addr, h, w, step, bits)
 
         frame = Frame(y=rd(in_y), u=rd(in_cb), v=rd(in_cr))
-        # per-call blending mode, like RNLProcess's argument
-        eng = _engine
-        if BlendingMode(blending) != eng.cfg.blending:
+        # per-call blending mode, like RNLProcess's argument; engines are
+        # cached per mode (jit caches stay warm across frames)
+        eng = _engines_by_blend.get(int(blending))
+        if eng is None:
             import dataclasses
 
             eng = RaisrEngine(
-                dataclasses.replace(eng.cfg, blending=BlendingMode(blending)),
-                model=eng.model,
+                dataclasses.replace(_engine.cfg, blending=BlendingMode(blending)),
+                model=_engine.model,
             )
+            _engines_by_blend[int(blending)] = eng
         result = eng.process(frame)
 
         def wr(p, plane):
@@ -96,4 +116,5 @@ def deinit() -> int:
     global _engine, _cfg
     _engine = None
     _cfg = None
+    _engines_by_blend.clear()
     return 0

@@ -21,6 +21,17 @@ import time
 
 import numpy as np
 
+# Honor JAX_PLATFORMS even when a site customization registers an
+# accelerator plugin that ignores the env var (same handling as
+# capi_bridge): apply it via jax.config before the first backend use.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except RuntimeError:
+        pass
+
 from raisr_tpu.config import RaisrConfig, BlendingMode, RangeType, Backend, RaisrError
 from raisr_tpu.engine import RaisrEngine, Frame
 
@@ -38,6 +49,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--evenoutput", action="store_true")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "reference", "xla", "pallas"])
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute precision tier: float32 matches the "
+                        "reference's AVX2/AVX512 quality; bfloat16 is the "
+                        "AVX512-FP16 analogue (faster, ~fp16 quality)")
 
 
 def _cfg(args) -> RaisrConfig:
@@ -51,6 +67,7 @@ def _cfg(args) -> RaisrConfig:
         mode=args.mode,
         evenoutput=args.evenoutput,
         backend=Backend(args.backend),
+        dtype=args.dtype,
     )
 
 

@@ -24,10 +24,27 @@ def compiler_options() -> dict | None:
 
 
 def tpu_jit(fn=None, **jit_kwargs):
-    """jax.jit with the TPU scoped-VMEM compile option applied."""
+    """jax.jit with the TPU scoped-VMEM compile option applied.
+
+    The backend query (and hence jax.jit construction) is deferred to the
+    first call: tpu_jit decorates module-level functions, and resolving the
+    backend at import time would initialize JAX's platform before the host
+    application (embedded interpreters, tests) can force one."""
     if fn is None:
         return functools.partial(tpu_jit, **jit_kwargs)
-    opts = compiler_options()
-    if opts is not None:
-        jit_kwargs.setdefault("compiler_options", opts)
-    return jax.jit(fn, **jit_kwargs)
+
+    cache: dict[str, object] = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        jitted = cache.get("jit")
+        if jitted is None:
+            kw = dict(jit_kwargs)
+            opts = compiler_options()
+            if opts is not None:
+                kw.setdefault("compiler_options", opts)
+            jitted = jax.jit(fn, **kw)
+            cache["jit"] = jitted
+        return jitted(*args, **kwargs)
+
+    return wrapper

@@ -34,6 +34,7 @@ TPU-native formulation ("the 216-bucket gather as a dense MXU matmul"):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -67,11 +68,49 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def _tree_select(gt, idx):
-    """gt[idx[c], c] per column via one-hot compare + sublane reduction.
-    (A bucket-bit folding tree was tried and measured slower at NBP=256.)"""
+    """gt[idx[c], c] per column.
+
+    Chained-select formulation: per 8-sublane vreg group v, fold the group
+    into an [8, n] accumulator with acc = where(iota8 + 8v == idx, gt_v, acc)
+    — 2 VPU ops per group (compare + select) instead of the one-hot
+    mask-multiply-add's 3 (compare + select + add), with one final 8-sublane
+    reduction. Groups are split into independent chains so the serial where
+    dependency doesn't bound the pipeline. Measured vs alternatives that
+    LOST: one-hot where+sum (the previous form, 3 ops/group), mult+sum
+    (ties one-hot), bucket-bit folding tree, take_along_axis (doesn't
+    lower in Mosaic)."""
+    nbp, n = gt.shape
+    assert nbp % 8 == 0
+    n_groups = nbp // 8
+    chains = 4
+    per = -(-n_groups // chains)
+    sub_iota = lax.broadcasted_iota(jnp.int32, (8, n), 0)
+    accs = []
+    for ch in range(chains):
+        lo = ch * per
+        hi = min((ch + 1) * per, n_groups)
+        if lo >= hi:
+            break
+        acc = jnp.zeros((8, n), jnp.float32)
+        for v in range(lo, hi):
+            acc = jnp.where(sub_iota + 8 * v == idx, gt[8 * v : 8 * v + 8, :], acc)
+        accs.append(acc)
+    total = accs[0]
+    for a in accs[1:]:
+        total = total + a
+    return jnp.sum(total, axis=0, keepdims=True)
+
+
+def _tree_select_onehot(gt, idx):
+    """Previous one-hot form, kept for A/B benchmarking
+    (RAISR_SELECT=onehot)."""
     sub_iota = lax.broadcasted_iota(jnp.int32, gt.shape, 0)
     mask = sub_iota == idx
     return jnp.sum(jnp.where(mask, gt, 0.0), axis=0, keepdims=True)
+
+
+if os.environ.get("RAISR_SELECT") == "onehot":  # pragma: no cover - bench knob
+    _tree_select = _tree_select_onehot
 
 
 def _band_kernel(
@@ -111,51 +150,54 @@ def _band_kernel(
         col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
         col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
 
+    # ONE patch block of patch_size+1 rows serves BOTH row phases (taps of
+    # phase r0 sit at sublane offset r0 in the f_phase layout) and both
+    # column phases (block j' covers tap col j'-c0; zero filter taps mask
+    # the unused block per phase) — one staged copy set per base row feeds
+    # all four phases.
     n = rowbatch * w2p
     n_blocks = patch_size + 1  # 12 shared tap-column blocks serve both c0s
     k_dim = n_blocks * BLOCK  # 192 per precision slot
+    rows_blk = patch_size + 1  # 11 taps + 1 row of r0-phase slack
     dims = (((1,), (0,)), ((), ()))
 
     # zero tap-pad rows once (0 * garbage could be NaN)
-    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
+    zpad = jnp.zeros((BLOCK - rows_blk, n), jnp.bfloat16)
     for blk in range(mxu_passes):
         for j in range(n_blocks):
             pt_ref[
-                blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
+                blk * k_dim + j * BLOCK + rows_blk : blk * k_dim + (j + 1) * BLOCK, :
             ] = zpad
 
-    for r0 in range(2):
-        for kb in range(0, tb2, rowbatch):
-            # shared PT: block j' covers tap col j'-c0 of column-phase c0;
-            # c0=0 uses blocks 0..10, c0=1 uses blocks 1..11 (zero-padded
-            # filters mask the unused block per phase)
-            for b in range(rowbatch):
-                r = 2 * (kb + b) + r0
-                for j in range(n_blocks):
-                    parity = (j + 1) % 2
-                    off = (j + 1) // 2
-                    plane = ce_s if parity == 0 else co_s
-                    block = plane[r : r + patch_size, off : off + w2p]
+    for kb in range(0, tb2, rowbatch):
+        for b in range(rowbatch):
+            q = 2 * (kb + b)  # staged plane row of the r0=0 patch top
+            for j in range(n_blocks):
+                parity = (j + 1) % 2
+                off = (j + 1) // 2
+                plane = ce_s if parity == 0 else co_s
+                block = plane[q : q + rows_blk, off : off + w2p]
+                pt_ref[
+                    j * BLOCK : j * BLOCK + rows_blk,
+                    b * w2p : (b + 1) * w2p,
+                ] = block
+                if mxu_passes >= 2:
+                    # hi/lo filter passes ride ONE K-packed matmul
+                    # (separate dots keep two [NBP, n] f32 temporaries
+                    # live per unrolled iteration and overflow scoped
+                    # VMEM); the patch block is written to both K slots
                     pt_ref[
-                        j * BLOCK : j * BLOCK + patch_size,
+                        k_dim + j * BLOCK : k_dim + j * BLOCK + rows_blk,
                         b * w2p : (b + 1) * w2p,
                     ] = block
-                    if mxu_passes >= 2:
-                        # hi/lo filter passes ride ONE K-packed matmul
-                        # (separate dots keep two [NBP, n] f32 temporaries
-                        # live per unrolled iteration and overflow scoped
-                        # VMEM); the patch block is written to both K slots
-                        pt_ref[
-                            k_dim + j * BLOCK : k_dim + j * BLOCK + patch_size,
-                            b * w2p : (b + 1) * w2p,
-                        ] = block
-                    if mxu_passes >= 3:
-                        planel = cel_s if parity == 0 else col_s
-                        pt_ref[
-                            2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
-                            b * w2p : (b + 1) * w2p,
-                        ] = planel[r : r + patch_size, off : off + w2p]
+                if mxu_passes >= 3:
+                    planel = cel_s if parity == 0 else col_s
+                    pt_ref[
+                        2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + rows_blk,
+                        b * w2p : (b + 1) * w2p,
+                    ] = planel[q : q + rows_blk, off : off + w2p]
 
+        for r0 in range(2):
             for c0 in range(2):
                 f_ref = fs[2 * r0 + c0]
                 gt = lax.dot_general(
@@ -244,8 +286,9 @@ def apply_filters_pallas(
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
         fp = jnp.zeros((NBP, n_blocks, BLOCK), jnp.float32)
-        # block j' = c0 + j holds tap column j (rows i in the leading slots)
-        fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
+        # block j' = c0 + j holds tap column j; sublane offset r0 lets both
+        # row phases share one staged patch matrix (see _band_kernel)
+        fp = fp.at[:NB, c0 : c0 + patch_size, r0 : r0 + patch_size].set(
             jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
         )
         fhi, flo = _split_hi_lo(fp.reshape(NBP, k_dim))

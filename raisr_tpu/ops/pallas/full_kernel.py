@@ -75,7 +75,7 @@ def _full_kernel(
         col_s = next(it)
     bkt_scr = (next(it), next(it))  # int32 [band + 8, w2p]
     raw_scr = (next(it), next(it))  # f32 [band + 8, w2p]
-    pt_ref = next(it)
+    pt_refs = tuple(it)  # 1 or 2 PT buffers (2 = double-buffered groups)
 
     cf_e, cf_o = cf
     # ---- stage (local plane row l <-> full row band*i - 7 + l) -------------
@@ -168,51 +168,60 @@ def _full_kernel(
         )
 
     # ---- PT assembly + matmul + select, raw rows t in [-1, band+2) ---------
+    # ONE patch block of patch_size+1 rows serves BOTH row phases: the taps
+    # of phase r0 sit at sublane offset r0 inside each 16-row block (set up
+    # in the f_phase layout below), so base row q = 2*(kb+b) covers raw rows
+    # q-2 (r0=0) and q-1 (r0=1) with a single staged copy set — halving the
+    # PT assembly traffic vs one assembly per row phase.
     n = rowbatch * w2p
     n_blocks = patch_size + 1
     k_dim = n_blocks * BLOCK
+    rows_blk = patch_size + 1  # 11 taps + 1 row of r0-phase slack
     dims = (((1,), (0,)), ((), ()))
 
-    zpad = jnp.zeros((BLOCK - patch_size, n), jnp.bfloat16)
-    for blk in range(mxu_passes):
-        for j in range(n_blocks):
-            pt_ref[
-                blk * k_dim + j * BLOCK + patch_size : blk * k_dim + (j + 1) * BLOCK, :
-            ] = zpad
+    zpad = jnp.zeros((BLOCK - rows_blk, n), jnp.bfloat16)
+    for pt_ref in pt_refs:
+        for blk in range(mxu_passes):
+            for j in range(n_blocks):
+                pt_ref[
+                    blk * k_dim + j * BLOCK + rows_blk : blk * k_dim + (j + 1) * BLOCK, :
+                ] = zpad
 
-    n_k = tb2 + 2  # phase rows per r0 (incl. the -1/+1 halo rows)
-    for r0 in range(2):
-        for kb in range(0, n_k, rowbatch):
-            for b in range(rowbatch):
-                # full row t = 2*(kb+b) + r0 - 2; patch top local = t + 2
-                r = 2 * (kb + b) + r0  # = t + 2 directly
-                for j in range(n_blocks):
-                    parity = (j + 1) % 2
-                    off = (j + 1) // 2
-                    plane = ce_s if parity == 0 else co_s
-                    block = plane[r : r + patch_size, off : off + w2p]
+    n_q = tb2 + 2  # base rows; each serves r0 = 0 and 1
+    for kb in range(0, n_q, rowbatch):
+        # alternate PT buffers so this group's assembly (VPU) can overlap
+        # the previous group's matmuls (MXU) in Mosaic's schedule
+        pt_ref = pt_refs[(kb // rowbatch) % len(pt_refs)]
+        for b in range(rowbatch):
+            q = 2 * (kb + b)  # staged plane row of the r0=0 patch top
+            for j in range(n_blocks):
+                parity = (j + 1) % 2
+                off = (j + 1) // 2
+                plane = ce_s if parity == 0 else co_s
+                block = plane[q : q + rows_blk, off : off + w2p]
+                pt_ref[
+                    j * BLOCK : j * BLOCK + rows_blk,
+                    b * w2p : (b + 1) * w2p,
+                ] = block
+                if mxu_passes >= 3:
+                    planel = cel_s if parity == 0 else col_s
                     pt_ref[
-                        j * BLOCK : j * BLOCK + patch_size,
+                        2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + rows_blk,
                         b * w2p : (b + 1) * w2p,
-                    ] = block
-                    if mxu_passes >= 3:
-                        planel = cel_s if parity == 0 else col_s
-                        pt_ref[
-                            2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + patch_size,
-                            b * w2p : (b + 1) * w2p,
-                        ] = planel[r : r + patch_size, off : off + w2p]
+                    ] = planel[q : q + rows_blk, off : off + w2p]
 
-            if mxu_passes >= 2:
-                # duplicate the hi patch block for the K-packed lo filters in
-                # one bulk scratch-to-scratch copy instead of per-block writes
-                pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
+        if mxu_passes >= 2:
+            # duplicate the hi patch block for the K-packed lo filters in
+            # one bulk scratch-to-scratch copy instead of per-block writes
+            pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
 
+        for r0 in range(2):
             for c0 in range(2):
                 f_ref = fs[2 * r0 + c0]
                 gt = lax.dot_general(
                     f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
                 )
-                # bucket row for raw row t: vert index t+1 = 2*(kb+b)+r0-1
+                # bucket row for raw row t = 2*(kb+b)+r0-2: vert index t+1
                 idx = jnp.concatenate(
                     [
                         bkt_scr[c0][
@@ -387,7 +396,10 @@ def raisr_pass_pallas_full(
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
         fp = jnp.zeros((NB, n_blocks, BLOCK), jnp.float32)
-        fp = fp.at[:NB, c0 : c0 + patch_size, :patch_size].set(
+        # taps at block offset c0 (patch column) and sublane offset r0
+        # (patch row): both row phases then share ONE staged patch matrix
+        # whose blocks hold patch_size+1 consecutive plane rows
+        fp = fp.at[:NB, c0 : c0 + patch_size, r0 : r0 + patch_size].set(
             jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
         )
         fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
@@ -432,7 +444,11 @@ def raisr_pass_pallas_full(
     scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.int32) for _ in range(2)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.float32) for _ in range(2)]
-    scratch.append(pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16))
+    n_pt = 1 if rowbatch >= tb2 + 2 else 2  # double-buffer multi-group runs
+    scratch += [
+        pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16)
+        for _ in range(n_pt)
+    ]
 
     plane_specs = []
     plane_args = []

@@ -57,3 +57,48 @@ def test_shared_library_smoke():
     env = dict(os.environ, JAX_PLATFORMS="cpu", LD_LIBRARY_PATH=os.path.dirname(lib))
     r = subprocess.run([smoke], env=env, capture_output=True, timeout=600)
     assert r.returncode == 0, r.stderr.decode()[-500:]
+
+
+@pytest.mark.skipif(
+    shutil.which("cmake") is None or shutil.which("cc") is None,
+    reason="native toolchain unavailable",
+)
+def test_capi_y4m_bit_identical_to_cli(tmp_path):
+    """tools/capi_y4m (the frame-by-frame C consumer an FFmpeg filter would
+    be) must produce byte-identical Y4M output to the Python CLI."""
+    lib = os.path.join(REPO, "build", "capi", "libraisr_tpu.so")
+    y4m_bin = os.path.join(REPO, "build", "capi", "capi_y4m")
+    if not (os.path.exists(lib) and os.path.exists(y4m_bin)):
+        subprocess.run(
+            [os.path.join(REPO, "tools", "build_capi.sh")],
+            check=True, capture_output=True, timeout=600,
+        )
+
+    rng = np.random.default_rng(5)
+    w, h = 64, 48
+    clip = os.path.join(str(tmp_path), "in.y4m")
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, w * h, dtype=np.uint8).tobytes())
+            f.write(rng.integers(16, 240, 2 * (w // 2) * (h // 2),
+                                 dtype=np.uint8).tobytes())
+
+    out_cli = os.path.join(str(tmp_path), "cli.y4m")
+    out_c = os.path.join(str(tmp_path), "capi.y4m")
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LD_LIBRARY_PATH=os.path.join(REPO, "build", "capi"))
+    r = subprocess.run(
+        [os.sys.executable, "-m", "raisr_tpu.cli", "upscale", "-i", clip,
+         "-o", out_cli, "--ratio", "2", "--passes", "2",
+         "--filterfolder", FOLDER],
+        capture_output=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    r = subprocess.run(
+        [y4m_bin, clip, out_c, FOLDER, "2", "8", "0", "2", "1", "2"],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert open(out_c, "rb").read() == open(out_cli, "rb").read()
