@@ -9,9 +9,12 @@ the target at >= 60 fps sustained per TPU v5e chip.
 
 Methodology (see docs/PERFORMANCE.md): the remote-execution tunnel adds
 ~100 ms per dispatch and may cache identical dispatches, so throughput is
-measured as ONE dispatch over a batch of frames stacked vertically (the
-pipeline is locally shift-invariant; stacking only changes 6-row seams),
-fenced by a host fetch, minus the measured dispatch+fence overhead.
+measured as ONE dispatch over a batch of frames, fenced by a host fetch,
+minus the measured dispatch+fence overhead. The batch runs the PRODUCTION
+batched engine path (engine.process_batch_y: guard-banded frame stack with
+per-frame zone masks — output bit-identical to per-frame processing,
+tests/test_pallas_fused.py::test_full_pass_kernel_frame_stacking), the same
+path `raisr upscale --batch N` uses.
 """
 
 import json
@@ -28,17 +31,12 @@ def main():
     import jax
     import jax.numpy as jnp
     from raisr_tpu.config import RaisrConfig
-    from raisr_tpu.model.loader import load_model
-    from raisr_tpu.ops.pipeline import pass_statics, process_plane_y
+    from raisr_tpu.engine import RaisrEngine
 
     folder = "/root/reference/filters_2x/filters_highres"
-    cfg = RaisrConfig(filterfolder=folder, passes=2)
-    model = load_model(folder, cfg)
-    backend = "taps" if jax.default_backend() == "cpu" else "pallas"
-    statics = pass_statics(cfg, model, backend)
-    filters = tuple(jnp.asarray(b.filters) for b in model.banks)
-    qstr = tuple(jnp.asarray(b.qstr) for b in model.banks)
-    qcoh = tuple(jnp.asarray(b.qcoh) for b in model.banks)
+    backend = "reference" if jax.default_backend() == "cpu" else "pallas"
+    cfg = RaisrConfig(filterfolder=folder, passes=2, backend=backend)
+    engine = RaisrEngine(cfg)
 
     n = N_FRAMES if jax.default_backend() != "cpu" else 1
     lr_h, lr_w = 1080, 1920
@@ -48,16 +46,13 @@ def main():
     rng = np.random.default_rng(0)
     tall = jnp.asarray(
         np.clip(
-            rng.integers(16, 235, size=(n * lr_h, lr_w)).astype(np.float32) + salt,
+            rng.integers(16, 235, size=(n, lr_h, lr_w)).astype(np.float32) + salt,
             0, 235,
         )
     )
 
-    def fn(y):
-        return process_plane_y(
-            y, filters, qstr, qcoh, statics, cfg.passes, cfg.two_pass_mode,
-            n * lr_h * 2, lr_w * 2,
-        )
+    def fn(batch):
+        return engine.process_batch_y(batch)
 
     def fence(x):
         return float(jnp.sum(x))

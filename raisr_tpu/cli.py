@@ -99,7 +99,7 @@ def cmd_upscale(args) -> int:
     from raisr_tpu.stream import StreamProcessor
     import itertools
 
-    stream = StreamProcessor(engine, depth=args.pipeline_depth)
+    stream = StreamProcessor(engine, depth=args.pipeline_depth, batch=args.batch)
     frames = iter(reader)
     if args.frames:
         frames = itertools.islice(frames, args.frames)
@@ -228,6 +228,9 @@ def main(argv=None) -> int:
     p_up.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
     p_up.add_argument("--pipeline-depth", type=int, default=2,
                       help="frames kept in flight on the device")
+    p_up.add_argument("--batch", type=int, default=1,
+                      help="frames per device dispatch (device-resident "
+                           "batched mode; output identical to --batch 1)")
     p_up.add_argument("--size", default=None, help="WxH for raw .yuv input")
     p_up.add_argument(
         "--format", default="420", choices=["420", "422", "444", "nv12", "mono"]

@@ -22,7 +22,9 @@ from raisr_tpu.model.loader import load_model, RaisrModel
 from raisr_tpu.ops.pipeline import (
     pass_statics,
     process_plane_y,
+    process_plane_y_batch,
     process_plane_uv,
+    process_plane_uv_batch,
 )
 
 
@@ -108,6 +110,28 @@ class RaisrEngine:
         )
 
     def process_batch_y(self, batch_y: jnp.ndarray) -> jnp.ndarray:
-        """Batched luma processing ([N, H, W]) — vmapped single-plane path."""
-        fn = lambda y: self.upscale_y(y)
-        return jax.vmap(fn)(batch_y)
+        """Batched luma processing ([N, H, W] in, [N, oH, oW] out).
+
+        Device-resident production path: the batch rides ONE kernel dispatch
+        as a guard-banded vertical stack with per-frame zone masks — output
+        is exactly N x upscale_y (tests/test_stream.py), at stacked-frame
+        throughput rather than per-frame dispatch cost."""
+        n, h, w = batch_y.shape
+        out_h, out_w = self.cfg.output_size(h, w)
+        return process_plane_y_batch(
+            batch_y,
+            self._filters,
+            self._qstr,
+            self._qcoh,
+            self._statics,
+            self.cfg.passes,
+            self.cfg.two_pass_mode,
+            out_h,
+            out_w,
+        )
+
+    def process_batch_uv(self, batch_uv: jnp.ndarray) -> jnp.ndarray:
+        """Batched chroma cheap upscale ([N, H, W] in)."""
+        n, h, w = batch_uv.shape
+        out_h, out_w = self.cfg.output_size(h, w)
+        return process_plane_uv_batch(batch_uv, out_h, out_w, self.cfg.bits)

@@ -55,6 +55,8 @@ def _full_kernel(
     max_val: int,
     blending: int,
     col_end: int,
+    frame_h: int,
+    frame_pad: int,
 ):
     from raisr_tpu.ops.hashing import atan2_approx
 
@@ -240,8 +242,25 @@ def _full_kernel(
     # ---- epilogue: reject + zone masks + census blend + rounding ------------
     i_band = pl.program_id(0)
     g0 = i_band * band  # global full row of band row 0
+
+    def frame_row(rows):
+        """Map a global row to its per-frame row coordinate.
+
+        frame_h == 0: the plane is one frame — identity. Otherwise the plane
+        is a vertical stack of frame_h-row frames separated by 2*frame_pad
+        replicate-padded guard rows (batched engine mode): guard rows map
+        outside [0, frame_h) and fail every zone test, giving each stacked
+        frame exactly the single-frame zone semantics."""
+        if frame_h <= 0:
+            return rows
+        period = frame_h + 2 * frame_pad
+        return jnp.mod(rows + (period - frame_pad), period)
+
+    eff_h = h_total if frame_h <= 0 else frame_h
     lane_iota = lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 1)
-    row_iota = lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 0) + (g0 - 1)
+    row_iota = frame_row(
+        lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 0) + (g0 - 1)
+    )
 
     # hr buffer rows t in [-1, band+1): reject-fixed, proc-masked
     hr = {}
@@ -253,7 +272,7 @@ def _full_kernel(
         f_ids = 2 * lane_iota + c0
         proc = (
             (row_iota >= 6)
-            & (row_iota < h_total - 6)
+            & (row_iota < eff_h - 6)
             & (f_ids >= 6)
             & (f_ids < col_end)
         )
@@ -310,18 +329,20 @@ def _full_kernel(
         # build the center-row iotas directly at [band, w2p] — Mosaic rejects
         # sublane-misaligned row-slices of iota values
         f_ids = 2 * lax.broadcasted_iota(jnp.int32, (band, w2p), 1) + c0
-        g_rows = lax.broadcasted_iota(jnp.int32, (band, w2p), 0) + (g0 + 1)
+        g_rows = frame_row(
+            lax.broadcasted_iota(jnp.int32, (band, w2p), 0) + (g0 + 1)
+        )
         if blending == 2:
             zone = (
                 (g_rows >= 1)
-                & (g_rows < h_total - 1)
+                & (g_rows < eff_h - 1)
                 & (f_ids >= 1)
                 & (f_ids < w_total - 1)
             )
         else:
             zone = (
                 (g_rows >= 6)
-                & (g_rows < h_total - 6)
+                & (g_rows < eff_h - 6)
                 & (f_ids >= 6)
                 & (f_ids < col_end)
             )
@@ -334,6 +355,7 @@ def _full_kernel(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "interpret",
+        "frame_h", "frame_pad",
     ),
 )
 def raisr_pass_pallas_full(
@@ -356,6 +378,8 @@ def raisr_pass_pallas_full(
     tb2: int = 8,
     rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
     interpret: bool = False,
+    frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
+    frame_pad: int = 0,
 ) -> jnp.ndarray:
     """One complete RAISR pass (ratio 2), fused end to end."""
     from raisr_tpu.ops.pipeline import processed_col_end
@@ -438,6 +462,8 @@ def raisr_pass_pallas_full(
         max_val=max_val,
         blending=blending,
         col_end=processed_col_end(w, m + 1, exact_edges),
+        frame_h=frame_h,
+        frame_pad=frame_pad,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
     n_stage = 2 if mxu_passes < 3 else 4
@@ -473,3 +499,373 @@ def raisr_pass_pallas_full(
     outo = out[:, w2p : 2 * w2p]
     full = jnp.stack([oute, outo], axis=2).reshape(2 * h2p, 2 * w2p)
     return full[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# single-phase (pixel_types == 1, e.g. ratio 1.5) whole-pass kernel
+# ---------------------------------------------------------------------------
+
+
+def _full_kernel_single(
+    *refs,
+    wp: int,
+    plane_w: int,
+    patch_size: int,
+    mxu_passes: int,
+    band: int,
+    ostack: int,
+    k1d: tuple,
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int,
+    qstrength: int,
+    qcoherence: int,
+    h_total: int,
+    w_total: int,
+    min_val: int,
+    max_val: int,
+    blending: int,
+    col_end: int,
+    frame_h: int,
+    frame_pad: int,
+):
+    """Whole RAISR pass for single-phase banks: stride-1 output rows.
+
+    One staged 16-sublane block of consecutive plane rows serves
+    SHARE = 16 - patch_size + 1 (= 6) consecutive output rows — the filter
+    copy for output-row offset o carries its taps at sublane offset o — and
+    all `ostack` offsets of a group ride one stacked-F matmul."""
+    from raisr_tpu.ops.hashing import atan2_approx
+
+    share = BLOCK - patch_size + 1
+
+    def _roll(x, shift):
+        return pltpu.roll(x, shift % x.shape[1], axis=1)
+
+    it = iter(refs)
+    ca, cb = next(it), next(it)
+    if mxu_passes >= 3:
+        cla, clb = next(it), next(it)
+    n_f = -(-share // ostack)
+    fs = tuple(next(it) for _ in range(n_f))
+    out_ref = next(it)  # [band, wp]
+    cf = next(it)  # f32 staging [band + 16, plane_w]
+    c_s = next(it)  # bf16 staging
+    if mxu_passes >= 3:
+        cl_s = next(it)
+    bkt_scr = next(it)  # int32 [band + 8, wp]
+    raw_scr = next(it)  # f32 [band + 8, wp]
+    pt_ref = next(it)  # bf16 [mxu * 11 * 16, wp]
+
+    # ---- stage (local plane row l <-> full row band*i - 7 + l) -------------
+    cf[0:band, :] = ca[...]
+    cf[band : band + 16, :] = cb[0:16, :]
+    c_s[...] = cf[...].astype(jnp.bfloat16)
+    if mxu_passes >= 3:
+        cl_s[0:band, :] = cla[...].astype(jnp.bfloat16)
+        cl_s[band : band + 16, :] = clb[0:16, :].astype(jnp.bfloat16)
+
+    # ---- gradients ----------------------------------------------------------
+    rows_g = band + 14  # gradient at local row j+1 for j in [0, rows_g)
+    P = cf[0 : rows_g + 2, :]
+    gx = P[2:, :] - P[:-2, :]
+    Pm = P[1:-1, :]
+    gy = _roll(Pm, -1) - _roll(Pm, 1)
+
+    # ---- separable structure tensor -----------------------------------------
+    n_vert = band + 3  # tensor rows for raw rows t in [-1, band+2)
+
+    def vert(mp):
+        acc = None
+        for i, kv in enumerate(k1d):
+            t = mp[i : i + n_vert, :] * kv
+            acc = t if acc is None else acc + t
+        return acc
+
+    va, vb_, vd = vert(gx * gx), vert(gx * gy), vert(gy * gy)
+
+    def horiz(vm):
+        acc = None
+        for j, kv in enumerate(k1d):
+            t = _roll(vm, 5 - j) * kv
+            acc = t if acc is None else acc + t
+        return acc * nf
+
+    a = horiz(va)[:, 6 : 6 + wp]
+    b = horiz(vb_)[:, 6 : 6 + wp]
+    d = horiz(vd)[:, 6 : 6 + wp]
+
+    # ---- hash ---------------------------------------------------------------
+    t_tr = a + d
+    det = a * d - b * b
+    sqr = jnp.sqrt(jnp.maximum(t_tr * t_tr * 0.25 - det, 0.0))
+    l1 = t_tr * 0.5 + sqr
+    l2 = jnp.maximum(t_tr * 0.5 - sqr, 0.0)
+    x = jnp.where(b != 0.0, l1 - d, 1.0)
+    angle = atan2_approx(b, x)
+    angle = angle + jnp.where(angle < 0.0, jnp.float32(3.14159265358979), 0.0)
+    sl1 = jnp.sqrt(l1)
+    sl2 = jnp.sqrt(l2)
+    coh = (sl1 - sl2) / (sl1 + sl2 + 1e-17)
+    ai = jnp.clip(
+        jnp.floor(angle * (qangle / 3.14159265358979)).astype(jnp.int32),
+        0,
+        qangle - 1,
+    )
+    si = jnp.zeros_like(ai)
+    for edge in qstr:
+        si = si + (jnp.float32(edge) <= l1).astype(jnp.int32)
+    ci = jnp.zeros_like(ai)
+    for edge in qcoh:
+        ci = ci + (jnp.float32(edge) <= coh).astype(jnp.int32)
+    bkt_scr[0:n_vert, :] = ai * (qstrength * qcoherence) + si * qcoherence + ci
+
+    # ---- PT assembly + stacked-offset matmul + selects ----------------------
+    n_blocks = patch_size  # 11 tap-column blocks
+    k_dim = n_blocks * BLOCK
+    dims = (((1,), (0,)), ((), ()))
+
+    # raw rows t = q + o - 2 (offset o in [0, share)), valid t in [-1, band+2)
+    for q in range(0, band + 4, share):
+        for j in range(n_blocks):
+            block = c_s[q : q + BLOCK, j + 1 : j + 1 + wp]
+            pt_ref[j * BLOCK : (j + 1) * BLOCK, :] = block
+            if mxu_passes >= 2:
+                pt_ref[k_dim + j * BLOCK : k_dim + (j + 1) * BLOCK, :] = block
+            if mxu_passes >= 3:
+                pt_ref[2 * k_dim + j * BLOCK : 2 * k_dim + (j + 1) * BLOCK, :] = (
+                    cl_s[q : q + BLOCK, j + 1 : j + 1 + wp]
+                )
+
+        for g_i in range(n_f):
+            o_lo = g_i * ostack
+            o_hi = min(o_lo + ostack, share)
+            valid = [
+                o for o in range(o_lo, o_hi) if 1 <= q + o < band + 4
+            ]
+            if not valid:
+                continue
+            gt = lax.dot_general(
+                fs[g_i][...], pt_ref[...], dims,
+                preferred_element_type=jnp.float32,
+            )
+            for o in valid:
+                o_rel = o - o_lo
+                idx = bkt_scr[max(q + o - 1, 0) : max(q + o - 1, 0) + 1, :]
+                sel = _tree_select(gt[o_rel * NB : (o_rel + 1) * NB, :], idx)
+                raw_scr[q + o : q + o + 1, :] = sel
+
+    # ---- epilogue: reject + zone masks + census blend + rounding ------------
+    i_band = pl.program_id(0)
+    g0 = i_band * band
+
+    def frame_row(rows):
+        if frame_h <= 0:
+            return rows
+        period = frame_h + 2 * frame_pad
+        return jnp.mod(rows + (period - frame_pad), period)
+
+    eff_h = h_total if frame_h <= 0 else frame_h
+    lane_iota = lax.broadcasted_iota(jnp.int32, (band + 2, wp), 1)
+    row_iota = frame_row(
+        lax.broadcasted_iota(jnp.int32, (band + 2, wp), 0) + (g0 - 1)
+    )
+
+    lr_ext = cf[6 : 6 + band + 2, 6 : 6 + wp]  # rows t in [-1, band+1)
+    raw_ext = raw_scr[1 : 1 + band + 2, :]
+    keep = (raw_ext > float(min_val)) & (raw_ext < float(max_val))
+    proc = (
+        (row_iota >= 6)
+        & (row_iota < eff_h - 6)
+        & (lane_iota >= 6)
+        & (lane_iota < col_end)
+    )
+    hr_ext = jnp.where(keep & proc, raw_ext, lr_ext)
+
+    rolled = {}
+    for sh in (-1, 0, 1):
+        rolled[sh] = (
+            (_roll(lr_ext, sh), _roll(hr_ext, sh)) if sh else (lr_ext, hr_ext)
+        )
+
+    lr_c = lr_ext[1 : 1 + band, :]
+    hr_c = hr_ext[1 : 1 + band, :]
+    ham = jnp.zeros((band, wp), jnp.float32)
+    cen = jnp.zeros((band, wp), jnp.float32)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            lf, hf = rolled[dc]
+            ln = lf[1 + dr : 1 + dr + band, :]
+            hn = hf[1 + dr : 1 + dr + band, :]
+            lbit = (ln < lr_c).astype(jnp.float32)
+            if blending == 2:
+                hbit = (hn < hr_c).astype(jnp.float32)
+                ham = ham + jnp.abs(lbit - hbit)
+            else:
+                cen = cen + lbit
+
+    if blending == 2:
+        weight = ham * (1.0 / 8.0)
+        val = weight * lr_c + (1.0 - weight) * hr_c
+    else:
+        weight = cen * (1.0 / 8.0)
+        val = weight * hr_c + (1.0 - weight) * lr_c
+    val = jnp.clip(jnp.floor(val + 0.5), float(min_val), float(max_val))
+
+    c_ids = lax.broadcasted_iota(jnp.int32, (band, wp), 1)
+    g_rows = frame_row(
+        lax.broadcasted_iota(jnp.int32, (band, wp), 0) + (g0 + 1)
+    )
+    if blending == 2:
+        zone = (
+            (g_rows >= 1)
+            & (g_rows < eff_h - 1)
+            & (c_ids >= 1)
+            & (c_ids < w_total - 1)
+        )
+    else:
+        zone = (
+            (g_rows >= 6)
+            & (g_rows < eff_h - 6)
+            & (c_ids >= 6)
+            & (c_ids < col_end)
+        )
+    out_ref[...] = jnp.where(zone, val, lr_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
+        "patch_size", "mxu_passes", "min_val", "max_val",
+        "blending", "exact_edges", "tb2", "ostack", "interpret",
+        "frame_h", "frame_pad",
+    ),
+)
+def raisr_pass_pallas_full_single(
+    cheap: jnp.ndarray,  # [H, W] f32 (integer-valued)
+    filters: jnp.ndarray,  # [216, 128] f32 (pixel_types == 1)
+    k1d: tuple,
+    nf: float,
+    qstr: tuple,
+    qcoh: tuple,
+    qangle: int = 24,
+    qstrength: int = 3,
+    qcoherence: int = 3,
+    patch_size: int = 11,
+    mxu_passes: int = 2,
+    min_val: int = 16,
+    max_val: int = 235,
+    blending: int = 2,
+    exact_edges: bool = True,
+    tb2: int = 16,
+    ostack: int = 3,  # row offsets stacked per matmul (divides/covers 6)
+    interpret: bool = False,
+    frame_h: int = 0,
+    frame_pad: int = 0,
+) -> jnp.ndarray:
+    """One complete RAISR pass for single-phase filter banks (ratio != 2,
+    reference gUsePixelType == false, Raisr.cpp:1477-1480), fused end to end."""
+    from raisr_tpu.ops.pipeline import processed_col_end
+
+    h, w = cheap.shape
+    m = patch_size // 2
+    n_taps = patch_size * patch_size
+    share = BLOCK - patch_size + 1
+    k_dim = patch_size * BLOCK
+    band = 2 * tb2
+
+    hp = _pad_to(h, band)
+    wp = _pad_to(w, 128)
+    plane_w = wp + 128
+
+    n_tiles = hp // band
+    top = m + 2
+    bottom = (n_tiles + 1) * band - (h + top)
+    left = m + 1
+    right = plane_w - w - left
+
+    padded = jnp.pad(cheap, ((top, bottom), (left, right)))
+    planes = [padded]
+    if mxu_passes >= 3:
+        planes.append(padded - _round_bf16(padded))
+
+    f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
+    n_f = -(-share // ostack)
+    f_groups = []
+    for g_i in range(n_f):
+        parts = []
+        for o in range(g_i * ostack, min((g_i + 1) * ostack, share)):
+            fp = jnp.zeros((NB, patch_size, BLOCK), jnp.float32)
+            fp = fp.at[:NB, :, o : o + patch_size].set(
+                jnp.transpose(f_all, (0, 2, 1))
+            )
+            fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
+            parts.append(
+                jnp.concatenate([fhi, flo, fhi][:mxu_passes], axis=1)
+            )
+        f_groups.append(jnp.concatenate(parts, axis=0))
+
+    plane_spec = pl.BlockSpec(
+        (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (None, band, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _full_kernel_single,
+        wp=wp,
+        plane_w=plane_w,
+        patch_size=patch_size,
+        mxu_passes=mxu_passes,
+        band=band,
+        ostack=ostack,
+        k1d=k1d,
+        nf=nf,
+        qstr=qstr,
+        qcoh=qcoh,
+        qangle=qangle,
+        qstrength=qstrength,
+        qcoherence=qcoherence,
+        h_total=h,
+        w_total=w,
+        min_val=min_val,
+        max_val=max_val,
+        blending=blending,
+        col_end=processed_col_end(w, m + 1, exact_edges),
+        frame_h=frame_h,
+        frame_pad=frame_pad,
+    )
+    scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32)]
+    n_stage = 1 if mxu_passes < 3 else 2
+    scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
+    scratch.append(pltpu.VMEM((band + 8, wp), jnp.int32))
+    scratch.append(pltpu.VMEM((band + 8, wp), jnp.float32))
+    scratch.append(pltpu.VMEM((mxu_passes * k_dim, wp), jnp.bfloat16))
+
+    plane_specs = []
+    plane_args = []
+    for pln in planes:
+        plane_specs.extend([plane_spec, plane_spec])
+        plane_args.append(pln[: n_tiles * band].reshape(n_tiles, band, plane_w))
+        plane_args.append(
+            pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
+        )
+    f_specs = [
+        pl.BlockSpec(f.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for f in f_groups
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=plane_specs + f_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, band, wp), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*plane_args, *f_groups)
+    return out.reshape(hp, wp)[:h, :w]

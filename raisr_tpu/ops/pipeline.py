@@ -95,9 +95,15 @@ def raisr_pass(
     qcoh: jnp.ndarray,
     statics: PassStatics,
     pass_idx: int = 0,
+    frame_h: int = 0,
+    frame_pad: int = 0,
 ) -> jnp.ndarray:
     """One RAISR pass over an integer-valued float32 plane. Returns the
-    integer-valued output plane (float32)."""
+    integer-valued output plane (float32).
+
+    frame_h > 0 (pallas path only): the plane is a vertical stack of
+    frame_h-row frames separated by 2*frame_pad guard rows; zone masks are
+    applied per frame (batched engine mode, see process_plane_y_batch)."""
     h, w = cheap.shape
     s = statics
     lm = s.loop_margin
@@ -131,6 +137,40 @@ def raisr_pass(
             # halve for wide planes so the G tensor + patch-matrix scratch
             # (both ~ (tb2+2)*w/2) stay inside the scoped-VMEM limit
             tb2=16 if w <= 4608 else 8,
+            frame_h=frame_h,
+            frame_pad=frame_pad,
+        )
+
+    if (
+        s.backend == "pallas"
+        and not s.use_pixel_type
+        and s.pixel_types == 1
+        and s.bank_edges
+    ):
+        # single-phase whole-pass kernel (ratio != 2 banks, e.g. 1.5x)
+        from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+        from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full_single
+
+        edges = s.bank_edges[pass_idx]
+        return raisr_pass_pallas_full_single(
+            cheap,
+            filters,
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(s.patch_size)),
+            nf=normalization_factor(s.bits),
+            qstr=edges[0],
+            qcoh=edges[1],
+            qangle=s.qangle,
+            qstrength=s.qstrength,
+            qcoherence=s.qcoherence,
+            patch_size=s.patch_size,
+            mxu_passes=s.mxu_passes,
+            min_val=s.min_val,
+            max_val=s.max_val,
+            blending=int(s.blending),
+            exact_edges=s.exact_edges,
+            tb2=16 if w <= 4608 else 8,
+            frame_h=frame_h,
+            frame_pad=frame_pad,
         )
 
     gx, gy = hashing.gradients(cheap)
@@ -290,9 +330,106 @@ def process_plane_y(
     return x
 
 
+@functools.partial(
+    tpu_jit, static_argnames=("statics", "passes", "two_pass_mode", "out_h", "out_w")
+)
+def process_plane_y_batch(
+    batch_lr: jnp.ndarray,  # [N, H, W]
+    bank_filters: tuple[jnp.ndarray, ...],
+    bank_qstr: tuple[jnp.ndarray, ...],
+    bank_qcoh: tuple[jnp.ndarray, ...],
+    statics: PassStatics,
+    passes: int,
+    two_pass_mode: int,
+    out_h: int,
+    out_w: int,
+) -> jnp.ndarray:
+    """Device-resident batched luma pipeline — the production throughput
+    path: N frames ride ONE kernel dispatch as a guard-banded vertical stack.
+
+    Each frame is replicate-padded with guard rows and the fused kernel
+    applies its zone masks per frame (raisr_pass frame_h/frame_pad), so the
+    result is exactly process_plane_y of each frame (the guard band exceeds
+    the one-pass support radius of ~8 rows: 5 patch + 1 tensor + 1 gradient
+    + 1 census; processed-zone raws never read outside their frame, the same
+    geometry that lets the reference's segments run independently,
+    Raisr.cpp:1742-1779). Frames stay stacked across passes — guard-row
+    contents never influence frame outputs, only masked-off guard outputs.
+
+    This replaces the reference's "run N ffmpeg processes" throughput recipe
+    (docs/performance.md:8) with one device-resident batch.
+    """
+    n, h, w = batch_lr.shape
+    s = statics
+    # LR guard: 6 rows covers the resize support; when pass 1 runs at LR
+    # size (mode 2) it needs the full processing support at LR scale
+    lr_pad = 12 if (passes == 2 and two_pass_mode == 2) else 6
+    stackable = (
+        s.backend == "pallas"
+        and bool(s.bank_edges)
+        and (s.use_pixel_type or s.pixel_types == 1)
+        # per-frame stacking must scale exactly: guard and period integral
+        # after upscale (true for 2x always; 1.5x with even h and pad)
+        and (out_h * lr_pad) % h == 0
+        and (out_h * (h + 2 * lr_pad)) % h == 0
+    )
+    if not stackable:
+        # exact-semantics fallback: vmap the single-frame pipeline
+        fn = lambda y: process_plane_y(
+            y, bank_filters, bank_qstr, bank_qcoh, statics, passes,
+            two_pass_mode, out_h, out_w,
+        )
+        return jax.vmap(fn)(batch_lr)
+
+    x = batch_lr.astype(jnp.float32)
+    x = jnp.pad(x, ((0, 0), (lr_pad, lr_pad), (0, 0)), mode="edge")
+    x = x.reshape(n * (h + 2 * lr_pad), w)
+    cur_fh, cur_pad = h, lr_pad
+
+    for pass_idx in range(passes):
+        if pass_idx + 1 == two_pass_mode:
+            tall_h = x.shape[0]
+            cheap = cheap_upscale(x, tall_h * out_h // h, out_w, s.bits)
+            cur_fh, cur_pad = out_h, cur_pad * out_h // h
+        else:
+            cheap = x
+        x = raisr_pass(
+            cheap,
+            bank_filters[pass_idx],
+            bank_qstr[pass_idx],
+            bank_qcoh[pass_idx],
+            statics,
+            pass_idx,
+            frame_h=cur_fh,
+            frame_pad=cur_pad,
+        )
+    x = x.reshape(n, cur_fh + 2 * cur_pad, out_w)
+    return x[:, cur_pad : cur_pad + cur_fh, :]
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits"))
 def process_plane_uv(
     lr: jnp.ndarray, out_h: int, out_w: int, bits: int
 ) -> jnp.ndarray:
     """Chroma planes only get the cheap upscale (Raisr.cpp:1373-1388)."""
     return cheap_upscale(lr.astype(jnp.float32), out_h, out_w, bits)
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits"))
+def process_plane_uv_batch(
+    lr: jnp.ndarray, out_h: int, out_w: int, bits: int
+) -> jnp.ndarray:
+    """Batched chroma cheap upscale ([N, H, W] in, [N, out_h, out_w] out)."""
+    n, h, w = lr.shape
+    if out_h % h or out_h // h < 2:
+        # non-integral ratios: per-frame mapping doesn't tile a stack
+        return jax.vmap(lambda p: process_plane_uv(p, out_h, out_w, bits))(lr)
+    pad = 2  # resize support is 1 row; keep alignment even
+    x = jnp.pad(
+        lr.astype(jnp.float32), ((0, 0), (pad, pad), (0, 0)), mode="edge"
+    )
+    ratio = out_h // h
+    x = x.reshape(n * (h + 2 * pad), w)
+    up = cheap_upscale(x, ratio * x.shape[0], out_w, bits)
+    up = up.reshape(n, ratio * (h + 2 * pad), out_w)
+    return up[:, ratio * pad : ratio * pad + out_h, :]

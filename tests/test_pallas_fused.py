@@ -116,3 +116,164 @@ def test_full_pass_kernel_matches_xla(blending):
     # pixels may pick adjacent buckets; everything else must be exact
     assert (diff > 0).mean() < 0.02, (diff > 0).mean()
     assert np.median(diff) == 0.0
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_bf16_tier():
+    """bf16 precision tier (mxu_passes=1 — the AVX512-FP16 analogue,
+    reference Raisr_AVX512FP16.cpp): same bucket choices, filtered values
+    within bf16 tap precision of the f32-grade tier."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, dtype="bfloat16")
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+
+    img = _smooth(48, 64, 8, seed=33)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    f32 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=2, **kw))
+    bf16 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=1, **kw))
+    diff = np.abs(bf16 - f32)
+    # bf16 taps: ~2^-9 relative per tap over a 121-tap dot at 8-bit scale
+    # (~0.3 LSB typical). Larger isolated diffs come from discrete flips the
+    # sub-LSB error triggers: census bits (weight steps of 1/8 scale the
+    # LR-HR gap) and range-reject threshold crossings (Raisr.cpp:1196-1201)
+    # — the same class of deltas the reference's FP16 path shows vs f32.
+    # (measured on this content: raw dot error mean 0.61 / max 3.0 LSB;
+    # |HR-LR| reaches 266 on the noise component, so a flipped census bit
+    # moves the blend by up to ~33)
+    assert (diff > 8).mean() < 5e-3, (diff > 8).mean()
+    mse = float((diff.astype(np.float64) ** 2).mean())
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    # 40 dB on pure-noise content (the worst case for census flips);
+    # real video content measures much higher (docs/PERFORMANCE.md)
+    assert psnr >= 40.0, psnr
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_bf16_tier_config_wiring():
+    """RaisrConfig(dtype='bfloat16') must select the single-pass MXU tier."""
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.ops.pipeline import pass_statics
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, dtype="bfloat16")
+    model = load_model(folder, cfg)
+    assert pass_statics(cfg, model, "pallas").mxu_passes == 1
+    cfg10 = RaisrConfig(filterfolder=folder, bits=10)
+    assert pass_statics(cfg10, model, "pallas").mxu_passes == 3
+
+
+@pytest.mark.parametrize("blending", [1, 2])
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_frame_stacking(blending):
+    """Batched engine mode: a guard-banded vertical stack of frames with
+    per-frame zone masks (frame_h/frame_pad) must be BIT-IDENTICAL to
+    processing each frame alone."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig, BlendingMode
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, blending=BlendingMode(blending))
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val,
+        blending=blending, interpret=True,
+    )
+    f = jnp.asarray(bank.filters)
+    h, w, pad = 48, 128, 12
+    frames = [_smooth(h, w, 8, seed=40 + i) for i in range(3)]
+
+    singles = [
+        np.asarray(raisr_pass_pallas_full(jnp.asarray(img), f, **kw))
+        for img in frames
+    ]
+
+    stack = np.concatenate(
+        [np.pad(img, ((pad, pad), (0, 0)), mode="edge") for img in frames]
+    )
+    tall = np.asarray(
+        raisr_pass_pallas_full(
+            jnp.asarray(stack), f, frame_h=h, frame_pad=pad, **kw
+        )
+    )
+    period = h + 2 * pad
+    for i, single in enumerate(singles):
+        got = tall[i * period + pad : i * period + pad + h]
+        assert np.array_equal(got, single), (
+            i, np.abs(got - single).max(), (got != single).mean()
+        )
+
+
+@pytest.mark.parametrize("blending", [1, 2])
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_single_phase(blending):
+    """Single-phase whole-pass kernel (1.5x banks) vs the taps pipeline."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig, BlendingMode
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pipeline import pass_statics, raisr_pass
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full_single
+
+    folder = "/root/reference/filters_1.5x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, ratio=1.5,
+                      blending=BlendingMode(blending))
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    statics = pass_statics(cfg, model, "taps")
+
+    img = _smooth(48, 96, 8, seed=27)
+    ref = np.asarray(
+        raisr_pass(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            jnp.asarray(bank.qstr), jnp.asarray(bank.qcoh), statics, 0,
+        )
+    )
+    out = np.asarray(
+        raisr_pass_pallas_full_single(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+            nf=normalization_factor(8),
+            qstr=tuple(float(v) for v in bank.qstr),
+            qcoh=tuple(float(v) for v in bank.qcoh),
+            min_val=cfg.min_val, max_val=cfg.max_val,
+            blending=blending, interpret=True,
+        )
+    )
+    diff = np.abs(out - ref)
+    assert (diff > 0).mean() < 0.02, ((diff > 0).mean(), diff.max())
+    assert np.median(diff) == 0.0
