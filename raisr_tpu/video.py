@@ -69,7 +69,13 @@ def _parse_y4m_colorspace(tag: str) -> tuple[str, int]:
     """C-tag -> (subsampling, bits). e.g. 420jpeg/420mpeg2/420paldv -> 420/8,
     420p10 -> 420/10, mono -> mono/8."""
     if tag.startswith("mono"):
-        return "mono", 8
+        m = re.match(r"mono(p(\d+))?$", tag)
+        if not m:
+            raise RaisrError(f"unsupported Y4M colorspace: C{tag}")
+        bits = int(m.group(2)) if m.group(2) else 8
+        if bits not in (8, 10, 12, 16):
+            raise RaisrError(f"unsupported Y4M bit depth: C{tag}")
+        return "mono", bits
     m = re.match(r"(420|422|444)(jpeg|mpeg2|paldv)?(p(\d+))?$", tag)
     if not m:
         raise RaisrError(f"unsupported Y4M colorspace: C{tag}")
@@ -145,6 +151,10 @@ class Y4MWriter:
             ("422", 10): "422p10",
             ("444", 10): "444p10",
             ("420", 16): "420p16",
+            ("422", 16): "422p16",
+            ("444", 16): "444p16",
+            ("mono", 10): "monop10",
+            ("mono", 16): "monop16",
         }.get((fmt.subsampling, fmt.bits))
         if ctag is None:
             raise RaisrError(
