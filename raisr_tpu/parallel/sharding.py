@@ -81,19 +81,32 @@ def process_batch_dp(
     mesh: Mesh,
     axis: str = "data",
 ):
-    """[N, H, W] -> [N, oH, oW], N sharded over `axis`. Pure DP, no collectives."""
-    from raisr_tpu.ops.pipeline import process_plane_y
+    """[N, H, W] -> [N, oH, oW], N sharded over `axis`. Pure DP, no
+    collectives. Each device runs the device-resident batched path on its
+    local frames (guard-banded stack, one kernel dispatch per device)."""
+    from jax.experimental.shard_map import shard_map
 
-    def fn(batch):
-        return jax.vmap(
-            lambda y: process_plane_y(
-                y, filters, qstr, qcoh, statics, passes, two_pass_mode, out_h, out_w
-            )
-        )(batch)
+    from raisr_tpu.ops.pipeline import process_plane_y_batch
 
-    in_sharding = NamedSharding(mesh, P(axis, None, None))
-    out_sharding = NamedSharding(mesh, P(axis, None, None))
-    return jax.jit(fn, in_shardings=in_sharding, out_shardings=out_sharding)(batch_lr)
+    n_banks = len(filters)
+
+    def fn(batch_local, *banks_flat):
+        f = banks_flat[:n_banks]
+        qs = banks_flat[n_banks : 2 * n_banks]
+        qc = banks_flat[2 * n_banks :]
+        return process_plane_y_batch(
+            batch_local, f, qs, qc, statics, passes, two_pass_mode,
+            out_h, out_w,
+        )
+
+    banks_flat = tuple(filters) + tuple(qstr) + tuple(qcoh)
+    fn_sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis, None, None),) + (P(),) * len(banks_flat),
+        out_specs=P(axis, None, None),
+        check_rep=False,
+    )
+    return jax.jit(fn_sharded)(batch_lr, *banks_flat)
 
 
 # --------------------------------------------------------------------------
