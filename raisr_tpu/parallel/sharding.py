@@ -84,8 +84,6 @@ def process_batch_dp(
     """[N, H, W] -> [N, oH, oW], N sharded over `axis`. Pure DP, no
     collectives. Each device runs the device-resident batched path on its
     local frames (guard-banded stack, one kernel dispatch per device)."""
-    from jax.experimental.shard_map import shard_map
-
     from raisr_tpu.ops.pipeline import process_plane_y_batch
 
     n_banks = len(filters)
@@ -100,11 +98,11 @@ def process_batch_dp(
         )
 
     banks_flat = tuple(filters) + tuple(qstr) + tuple(qcoh)
-    fn_sharded = shard_map(
+    fn_sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(axis, None, None),) + (P(),) * len(banks_flat),
         out_specs=P(axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn_sharded)(batch_lr, *banks_flat)
 
