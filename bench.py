@@ -57,29 +57,29 @@ def main():
     def fence(x):
         return float(jnp.sum(x))
 
-    # dispatch + fence overhead of the execution path
-    noop = jax.jit(lambda x: x + 1.0)
-    small = jnp.ones((8, 128), jnp.float32)
-    fence(noop(small))
-    t0 = time.perf_counter()
-    for i in range(3):
-        fence(noop(small + float(i)))
-    overhead = (time.perf_counter() - t0) / 3
+    def measure(batch):
+        fence(fn(batch))  # compile + warm
+        times = []
+        for rep in range(5):
+            fresh = batch + float(rep + 1) * 0.125
+            fence(fresh)
+            t0 = time.perf_counter()
+            fence(fn(fresh))
+            times.append(time.perf_counter() - t0)
+        return min(times)  # queueing noise is additive
 
-    fence(fn(tall))  # compile + warm
-    times = []
-    for rep in range(5):
-        fresh = tall + float(rep + 1) * 0.125
-        fence(fresh)
-        t0 = time.perf_counter()
-        fence(fn(fresh))
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    best = times[0]  # queueing noise is additive; min is closest to device time
-    elapsed = best - overhead
-    if elapsed <= best * 0.2:  # overhead estimate unreliable; report raw
-        elapsed = best
-    fps = n / elapsed
+    if n > 1:
+        # per-frame time as the slope between two batch sizes: robust
+        # against the tunnel's large and NOISY per-dispatch+fence overhead
+        # (a point estimate from noop dispatches varies 40-250 ms run to
+        # run, which moved earlier headline numbers by >20%)
+        n_small = n // 4
+        t_small = measure(tall[:n_small])
+        t_big = measure(tall)
+        elapsed = (t_big - t_small) / (n - n_small)
+        fps = 1.0 / elapsed
+    else:
+        fps = 1.0 / measure(tall)
 
     print(
         json.dumps(

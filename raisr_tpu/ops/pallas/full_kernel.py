@@ -16,6 +16,7 @@ with halo-expanded thread segments, Raisr.cpp:1742-1779)."""
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,9 @@ from raisr_tpu.ops.pallas.filter_kernel import (
 )
 
 
+_ABLATE = os.environ.get("RAISR_ABLATE", "")  # bench-only: skip a stage
+
+
 def _full_kernel(
     *refs,
     tb2: int,
@@ -42,6 +46,7 @@ def _full_kernel(
     mxu_passes: int,
     band: int,
     rowbatch: int,
+    cchunk: int,
     k1d: tuple,
     nf: float,
     qstr: tuple,
@@ -65,8 +70,6 @@ def _full_kernel(
 
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
-    if mxu_passes >= 3:
-        cela, celb, cola, colb = (next(it) for _ in range(4))
     fs = tuple(next(it) for _ in range(4))
     out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
     cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
@@ -88,10 +91,10 @@ def _full_kernel(
     ce_s[...] = cf_e[...].astype(jnp.bfloat16)
     co_s[...] = cf_o[...].astype(jnp.bfloat16)
     if mxu_passes >= 3:
-        cel_s[0:band, :] = cela[...].astype(jnp.bfloat16)
-        cel_s[band : band + 16, :] = celb[0:16, :].astype(jnp.bfloat16)
-        col_s[0:band, :] = cola[...].astype(jnp.bfloat16)
-        col_s[band : band + 16, :] = colb[0:16, :].astype(jnp.bfloat16)
+        # 10/16-bit: the low-order plane (value - bf16(value)) is derived
+        # IN-KERNEL from the staged f32 plane — no extra HBM streams
+        cel_s[...] = (cf_e[...] - _round_bf16(cf_e[...])).astype(jnp.bfloat16)
+        col_s[...] = (cf_o[...] - _round_bf16(cf_o[...])).astype(jnp.bfloat16)
 
     # ---- gradients ---------------------------------------------------------
     # gx_*[j] = vertical gradient at local row j+1, j in [0, band+14)
@@ -194,7 +197,7 @@ def _full_kernel(
         # alternate PT buffers so this group's assembly (VPU) can overlap
         # the previous group's matmuls (MXU) in Mosaic's schedule
         pt_ref = pt_refs[(kb // rowbatch) % len(pt_refs)]
-        for b in range(rowbatch):
+        for b in range(rowbatch) if _ABLATE != "nocopy" else ():
             q = 2 * (kb + b)  # staged plane row of the r0=0 patch top
             for j in range(n_blocks):
                 parity = (j + 1) % 2
@@ -220,9 +223,31 @@ def _full_kernel(
         for r0 in range(2):
             for c0 in range(2):
                 f_ref = fs[2 * r0 + c0]
-                gt = lax.dot_general(
-                    f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
-                )
+                if cchunk > 0:
+                    # column-chunked matmul+select: each unrolled iteration
+                    # pairs one MXU op with one select, so Mosaic's
+                    # software pipelining overlaps select(c-1) with
+                    # matmul(c) (whole-PT matmuls leave the VPU select
+                    # serialized behind the MXU)
+                    for b in range(rowbatch):
+                        row = max(2 * (kb + b) + r0 - 1, 0)
+                        rr = 2 * (kb + b) + r0
+                        for sub in range(0, w2p, cchunk):
+                            cols = slice(b * w2p + sub, b * w2p + sub + cchunk)
+                            gt = lax.dot_general(
+                                f_ref[...], pt_ref[:, cols], dims,
+                                preferred_element_type=jnp.float32,
+                            )
+                            idx = bkt_scr[c0][row : row + 1, sub : sub + cchunk]
+                            sel = _tree_select(gt, idx)
+                            raw_scr[c0][rr : rr + 1, sub : sub + cchunk] = sel
+                    continue
+                if _ABLATE == "nomxu":
+                    gt = pt_ref[0:NB, :].astype(jnp.float32)
+                else:
+                    gt = lax.dot_general(
+                        f_ref[...], pt_ref[...], dims, preferred_element_type=jnp.float32
+                    )
                 # bucket row for raw row t = 2*(kb+b)+r0-2: vert index t+1
                 idx = jnp.concatenate(
                     [
@@ -233,7 +258,10 @@ def _full_kernel(
                     ],
                     axis=1,
                 )
-                sel = _tree_select(gt, idx)
+                if _ABLATE == "noselect":
+                    sel = gt[0:1, :] + idx.astype(jnp.float32)
+                else:
+                    sel = _tree_select(gt, idx)
                 for b in range(rowbatch):
                     # raw scratch row = t + 2 = 2*(kb+b) + r0
                     rr = 2 * (kb + b) + r0
@@ -354,7 +382,7 @@ def _full_kernel(
     static_argnames=(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
-        "blending", "exact_edges", "tb2", "rowbatch", "interpret",
+        "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "interpret",
         "frame_h", "frame_pad",
     ),
 )
@@ -377,6 +405,7 @@ def raisr_pass_pallas_full(
     exact_edges: bool = True,
     tb2: int = 8,
     rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
+    cchunk: int = 0,  # >0: column-chunked matmul+select (chunk lanes)
     interpret: bool = False,
     frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
     frame_pad: int = 0,
@@ -409,10 +438,7 @@ def raisr_pass_pallas_full(
 
     padded = jnp.pad(cheap, ((top, bottom), (left, right)))
     planes = [padded[:, 0::2], padded[:, 1::2]]
-    if mxu_passes >= 3:
-        lo = padded - _round_bf16(padded)
-        planes.append(lo[:, 0::2])
-        planes.append(lo[:, 1::2])
+    # 10/16-bit low-order planes are derived in-kernel from the f32 staging
 
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
     n_blocks = patch_size + 1
@@ -440,6 +466,9 @@ def raisr_pass_pallas_full(
         (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    if cchunk > 0 and (cchunk % 128 or w2p % cchunk):
+        raise ValueError("cchunk must be lane-aligned and divide w2p")
+
     kernel = functools.partial(
         _full_kernel,
         tb2=tb2,
@@ -447,6 +476,7 @@ def raisr_pass_pallas_full(
         plane_w=plane_w,
         patch_size=patch_size,
         mxu_passes=mxu_passes,
+        cchunk=cchunk,
         band=band,
         rowbatch=rowbatch,
         k1d=k1d,

@@ -277,3 +277,46 @@ def test_full_pass_kernel_single_phase(blending):
     diff = np.abs(out - ref)
     assert (diff > 0).mean() < 0.02, ((diff > 0).mean(), diff.max())
     assert np.median(diff) == 0.0
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_10bit_mxu3():
+    """10-bit whole-pass kernel (mxu_passes=3, in-kernel low-order plane)
+    vs the exact taps pipeline."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pipeline import pass_statics, raisr_pass
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, bits=10)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    statics = pass_statics(cfg, model, "taps")
+
+    img = _smooth(48, 64, 10, seed=23)
+    ref = np.asarray(
+        raisr_pass(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            jnp.asarray(bank.qstr), jnp.asarray(bank.qcoh), statics, 0,
+        )
+    )
+    out = np.asarray(
+        raisr_pass_pallas_full(
+            jnp.asarray(img), jnp.asarray(bank.filters),
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+            nf=normalization_factor(10),
+            qstr=tuple(float(v) for v in bank.qstr),
+            qcoh=tuple(float(v) for v in bank.qcoh),
+            mxu_passes=3,
+            min_val=cfg.min_val, max_val=cfg.max_val,
+            blending=2, interpret=True,
+        )
+    )
+    diff = np.abs(out - ref)
+    assert (diff > 2).mean() < 0.02, ((diff > 2).mean(), diff.max())
+    assert np.median(diff) == 0.0

@@ -26,27 +26,38 @@ def fence(x):
 
 
 def bench(name, cfg):
+    """Per-frame time from the slope between two batch sizes — cancels the
+    remote-execution tunnel's large per-dispatch+fence overhead."""
     if ONLY and ONLY not in name:
         return
     eng = RaisrEngine(cfg)
     salt = float(time.time_ns() % 100003) / 1000.0
     rng = np.random.default_rng(0)
     hi = 235 if cfg.bits == 8 else 940
-    batch = jnp.asarray(
-        np.clip(
-            rng.integers(16, hi, (N, H, W)).astype(np.float32) + salt, 0, hi
-        )
+    base = np.clip(
+        rng.integers(16, hi, (N, H, W)).astype(np.float32) + salt, 0, hi
     )
-    fence(eng.process_batch_y(batch))
-    times = []
-    for rep in range(5):
-        fresh = batch + float(rep + 1) * 0.125
-        fence(fresh)
-        t0 = time.perf_counter()
-        fence(eng.process_batch_y(fresh))
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    print(f"{name}: {1000 * t / N:.2f} ms/frame ({N / t:.1f} fps, batch {N})")
+
+    def measure(n):
+        batch = jnp.asarray(base[:n])
+        fence(eng.process_batch_y(batch))
+        times = []
+        for rep in range(5):
+            fresh = batch + float(rep + 1) * 0.125
+            fence(fresh)
+            t0 = time.perf_counter()
+            fence(eng.process_batch_y(fresh))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    n_small = max(2, N // 4)
+    t_small = measure(n_small)
+    t_big = measure(N)
+    per = (t_big - t_small) / (N - n_small)
+    print(
+        f"{name}: {1000 * per:.2f} ms/frame ({1 / per:.1f} fps; "
+        f"slope {n_small}->{N}, raw {1000 * t_small:.0f}/{1000 * t_big:.0f} ms)"
+    )
 
 
 bench("8-bit  f32-grade 2-pass",
