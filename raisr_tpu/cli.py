@@ -218,6 +218,65 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_train(args) -> int:
+    """Train a filter bank from HR sources (the reference ships only
+    pre-trained banks; training is this framework's addition)."""
+    import itertools
+
+    from raisr_tpu import video
+    from raisr_tpu.train import TrainConfig
+    from raisr_tpu.train.trainer import train_filterbank
+    from raisr_tpu.train.export import save_filter_folder
+
+    tcfg = TrainConfig(
+        bits=args.bits, lam=args.lam, chunk=args.chunk,
+        augment_symmetry=args.augment,
+    )
+
+    def hr_planes():
+        for path in args.inputs:
+            ext = os.path.splitext(path)[1].lower()
+            if ext in (".png", ".jpg", ".jpeg", ".bmp"):
+                yield video.read_png_as_yuv(path, args.bits).y
+            else:
+                reader = video.open_reader(path, None)
+                frames = iter(reader)
+                if args.frames:
+                    frames = itertools.islice(frames, args.frames)
+                for fr in frames:
+                    yield fr.y
+                reader.close()
+
+    hi = (1 << args.bits) - 1
+
+    def pairs():
+        n = 0
+        for hr in hr_planes():
+            h, w = hr.shape
+            h -= h % 2
+            w -= w % 2
+            hr = hr[:h, :w]
+            lr = np.clip(
+                np.floor(
+                    hr.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
+                    .mean(axis=(1, 3)) + 0.5
+                ), 0, hi,
+            ).astype(hr.dtype)
+            n += 1
+            print(f"  accumulating frame {n} ({w}x{h})")
+            yield lr, hr
+
+    bank = train_filterbank(pairs(), tcfg)
+    save_filter_folder(
+        args.output, [bank], bits=args.bits,
+        notes=f"trained by raisr_tpu from {len(args.inputs)} source(s); "
+              f"2x box-downscale degradation; "
+              f"augment_symmetry={args.augment}",
+    )
+    print(f"wrote filter bank to {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="raisr", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
@@ -255,6 +314,23 @@ def main(argv=None) -> int:
     p_bench.add_argument("--frames", type=int, default=20)
     _add_common(p_bench)
     p_bench.set_defaults(fn=cmd_bench)
+
+    p_tr = sub.add_parser(
+        "train", help="train a 2x filter bank from HR video/images"
+    )
+    p_tr.add_argument("-o", "--output", required=True,
+                      help="filter folder to write (reference format)")
+    p_tr.add_argument("-i", "--inputs", nargs="+", required=True,
+                      help="HR sources: .y4m/.png/... (LR = 2x box downscale)")
+    p_tr.add_argument("--bits", type=int, default=8, choices=[8, 10, 16])
+    p_tr.add_argument("--frames", type=int, default=0,
+                      help="max frames per video source (0=all)")
+    p_tr.add_argument("--augment", action="store_true",
+                      help="8-way dihedral symmetry augmentation")
+    p_tr.add_argument("--lam", type=float, default=0.01,
+                      help="Tikhonov regularization")
+    p_tr.add_argument("--chunk", type=int, default=2048)
+    p_tr.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)
     try:

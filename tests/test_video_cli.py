@@ -150,3 +150,30 @@ class TestCompare:
         fmt, frames = _write_y4m(b, 1, 32, 24)
         rc = cli_main(["compare", str(a), str(b)])
         assert rc == 0
+
+
+def test_cli_train_roundtrip(tmp_path):
+    """raisr train produces a reference-format bank usable by upscale."""
+    import numpy as np
+    from raisr_tpu.cli import main
+
+    clip = os.path.join(str(tmp_path), "src.y4m")
+    rng = np.random.default_rng(21)
+    w, h = 64, 48
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, w * h, dtype=np.uint8).tobytes())
+            f.write(rng.integers(16, 240, 2 * (w // 2) * (h // 2),
+                                 dtype=np.uint8).tobytes())
+
+    bank = os.path.join(str(tmp_path), "bank")
+    assert main(["train", "-o", bank, "-i", clip, "--frames", "2"]) == 0
+    assert os.path.exists(os.path.join(bank, "filterbin_2_8"))
+    out = os.path.join(str(tmp_path), "up.y4m")
+    assert main([
+        "upscale", "-i", clip, "-o", out, "--filterfolder", bank,
+        "--backend", "reference",
+    ]) == 0
+    assert os.path.getsize(out) > 4 * w * h
