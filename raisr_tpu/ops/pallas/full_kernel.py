@@ -47,6 +47,7 @@ def _full_kernel(
     band: int,
     rowbatch: int,
     cchunk: int,
+    mpack: bool,
     k1d: tuple,
     nf: float,
     qstr: tuple,
@@ -70,7 +71,7 @@ def _full_kernel(
 
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
-    fs = tuple(next(it) for _ in range(4))
+    fs = tuple(next(it) for _ in range(1 if mpack else 4))
     out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
     cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
     ce_s = next(it)  # bf16 staging
@@ -174,26 +175,71 @@ def _full_kernel(
 
     # ---- PT assembly + matmul + select, raw rows t in [-1, band+2) ---------
     # ONE patch block of patch_size+1 rows serves BOTH row phases: the taps
-    # of phase r0 sit at sublane offset r0 inside each 16-row block (set up
-    # in the f_phase layout below), so base row q = 2*(kb+b) covers raw rows
-    # q-2 (r0=0) and q-1 (r0=1) with a single staged copy set — halving the
-    # PT assembly traffic vs one assembly per row phase.
+    # of phase r0 sit at sublane offset r0 inside each block (set up in the
+    # f_phase layout below), so base row q = 2*(kb+b) covers raw rows q-2
+    # (r0=0) and q-1 (r0=1) with a single staged copy set — halving the PT
+    # assembly traffic vs one assembly per row phase.
     n = rowbatch * w2p
     n_blocks = patch_size + 1
-    k_dim = n_blocks * BLOCK
     rows_blk = patch_size + 1  # 11 taps + 1 row of r0-phase slack
     dims = (((1,), (0,)), ((), ()))
 
-    zpad = jnp.zeros((BLOCK - rows_blk, n), jnp.bfloat16)
-    for pt_ref in pt_refs:
-        for blk in range(mxu_passes):
-            for j in range(n_blocks):
-                pt_ref[
-                    blk * k_dim + j * BLOCK + rows_blk : blk * k_dim + (j + 1) * BLOCK, :
-                ] = zpad
+    if mpack:
+        # dense layout: blocks of 12 rows back-to-back (no zero tap-pad
+        # rows: K = 12 * 12 = 144 per precision slot vs 192 blocked) and
+        # ALL FOUR phases M-packed into one [864, K] filter operand —
+        # ~25% less MXU contraction work and 864 rows tile the MXU's
+        # 128-row granularity at 96% (4x224-padded-to-256 is 87.5%).
+        k_dim = n_blocks * rows_blk
+        n_q = tb2 + 2
+        f_ref = fs[0]
+        for kb in range(0, n_q, rowbatch):
+            pt_ref = pt_refs[(kb // rowbatch) % len(pt_refs)]
+            for b in range(rowbatch):
+                q = 2 * (kb + b)
+                for j in range(n_blocks):
+                    parity = (j + 1) % 2
+                    off = (j + 1) // 2
+                    plane = ce_s if parity == 0 else co_s
+                    pt_ref[
+                        j * rows_blk : (j + 1) * rows_blk,
+                        b * w2p : (b + 1) * w2p,
+                    ] = plane[q : q + rows_blk, off : off + w2p]
+                    if mxu_passes >= 3:
+                        planel = cel_s if parity == 0 else col_s
+                        pt_ref[
+                            2 * k_dim + j * rows_blk : 2 * k_dim + (j + 1) * rows_blk,
+                            b * w2p : (b + 1) * w2p,
+                        ] = planel[q : q + rows_blk, off : off + w2p]
+            if mxu_passes >= 2:
+                pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
+
+            for b in range(rowbatch):
+                colsb = slice(b * w2p, (b + 1) * w2p)
+                gt_all = lax.dot_general(
+                    f_ref[...], pt_ref[:, colsb], dims,
+                    preferred_element_type=jnp.float32,
+                )
+                for r0 in range(2):
+                    for c0 in range(2):
+                        p = 2 * r0 + c0
+                        row = max(2 * (kb + b) + r0 - 1, 0)
+                        idx = bkt_scr[c0][row : row + 1, :]
+                        sel = _tree_select(gt_all[p * NB : (p + 1) * NB, :], idx)
+                        rr = 2 * (kb + b) + r0
+                        raw_scr[c0][rr : rr + 1, :] = sel
+    k_dim = n_blocks * BLOCK
+    if not mpack:
+        zpad = jnp.zeros((BLOCK - rows_blk, n), jnp.bfloat16)
+        for pt_ref in pt_refs:
+            for blk in range(mxu_passes):
+                for j in range(n_blocks):
+                    pt_ref[
+                        blk * k_dim + j * BLOCK + rows_blk : blk * k_dim + (j + 1) * BLOCK, :
+                    ] = zpad
 
     n_q = tb2 + 2  # base rows; each serves r0 = 0 and 1
-    for kb in range(0, n_q, rowbatch):
+    for kb in [] if mpack else range(0, n_q, rowbatch):
         # alternate PT buffers so this group's assembly (VPU) can overlap
         # the previous group's matmuls (MXU) in Mosaic's schedule
         pt_ref = pt_refs[(kb // rowbatch) % len(pt_refs)]
@@ -382,8 +428,8 @@ def _full_kernel(
     static_argnames=(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
-        "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "interpret",
-        "frame_h", "frame_pad",
+        "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "mpack",
+        "interpret", "frame_h", "frame_pad",
     ),
 )
 def raisr_pass_pallas_full(
@@ -406,6 +452,7 @@ def raisr_pass_pallas_full(
     tb2: int = 8,
     rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
     cchunk: int = 0,  # >0: column-chunked matmul+select (chunk lanes)
+    mpack: bool = True,  # dense-K + M-packed single matmul (see kernel)
     interpret: bool = False,
     frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
     frame_pad: int = 0,
@@ -417,7 +464,8 @@ def raisr_pass_pallas_full(
     h, w = cheap.shape
     m = patch_size // 2
     n_taps = patch_size * patch_size
-    k_dim = (patch_size + 1) * BLOCK
+    blk = (patch_size + 1) if mpack else BLOCK
+    k_dim = (patch_size + 1) * blk
     band = 2 * tb2
     if rowbatch <= 0:
         rowbatch = tb2 + 2  # one matmul per (r0, c0) covering rows [-1, band+2)
@@ -445,7 +493,7 @@ def raisr_pass_pallas_full(
     f_phase = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
-        fp = jnp.zeros((NB, n_blocks, BLOCK), jnp.float32)
+        fp = jnp.zeros((NB, n_blocks, blk), jnp.float32)
         # taps at block offset c0 (patch column) and sublane offset r0
         # (patch row): both row phases then share ONE staged patch matrix
         # whose blocks hold patch_size+1 consecutive plane rows
@@ -455,12 +503,15 @@ def raisr_pass_pallas_full(
         fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
         parts = [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
+    if mpack:
+        f_phase = [jnp.concatenate(f_phase, axis=0)]  # [4 * NB, mxu * 144]
 
     plane_spec = pl.BlockSpec(
         (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (NB, mxu_passes * k_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+        (4 * NB if mpack else NB, mxu_passes * k_dim),
+        lambda i: (0, 0), memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
         (None, band, 2 * w2p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -477,6 +528,7 @@ def raisr_pass_pallas_full(
         patch_size=patch_size,
         mxu_passes=mxu_passes,
         cchunk=cchunk,
+        mpack=mpack,
         band=band,
         rowbatch=rowbatch,
         k1d=k1d,
@@ -517,7 +569,7 @@ def raisr_pass_pallas_full(
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + [f_spec] * 4,
+        in_specs=plane_specs + [f_spec] * len(f_phase),
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
         scratch_shapes=scratch,
