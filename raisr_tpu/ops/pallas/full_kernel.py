@@ -195,7 +195,7 @@ def _full_kernel(
         f_ref = fs[0]
         for kb in range(0, n_q, rowbatch):
             pt_ref = pt_refs[(kb // rowbatch) % len(pt_refs)]
-            for b in range(rowbatch):
+            for b in range(rowbatch) if _ABLATE != "nocopy" else ():
                 q = 2 * (kb + b)
                 for j in range(n_blocks):
                     parity = (j + 1) % 2
@@ -214,20 +214,28 @@ def _full_kernel(
             if mxu_passes >= 2:
                 pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
 
-            for b in range(rowbatch):
-                colsb = slice(b * w2p, (b + 1) * w2p)
+            # matmul granularity: gchunk base rows per [864, K] matmul
+            # (gt is [864, gchunk*w2p] f32; keep it comfortably in VMEM)
+            gchunk = rowbatch if rowbatch * w2p <= 6 * 1920 else 1
+            for g0_ in range(0, rowbatch, gchunk):
+                gb = min(gchunk, rowbatch - g0_)
+                cols = slice(g0_ * w2p, (g0_ + gb) * w2p)
                 gt_all = lax.dot_general(
-                    f_ref[...], pt_ref[:, colsb], dims,
+                    f_ref[...], pt_ref[:, cols], dims,
                     preferred_element_type=jnp.float32,
                 )
-                for r0 in range(2):
-                    for c0 in range(2):
-                        p = 2 * r0 + c0
-                        row = max(2 * (kb + b) + r0 - 1, 0)
-                        idx = bkt_scr[c0][row : row + 1, :]
-                        sel = _tree_select(gt_all[p * NB : (p + 1) * NB, :], idx)
-                        rr = 2 * (kb + b) + r0
-                        raw_scr[c0][rr : rr + 1, :] = sel
+                for b in range(g0_, g0_ + gb):
+                    bc = slice((b - g0_) * w2p, (b - g0_ + 1) * w2p)
+                    for r0 in range(2):
+                        for c0 in range(2):
+                            p = 2 * r0 + c0
+                            row = max(2 * (kb + b) + r0 - 1, 0)
+                            idx = bkt_scr[c0][row : row + 1, :]
+                            sel = _tree_select(
+                                gt_all[p * NB : (p + 1) * NB, bc], idx
+                            )
+                            rr = 2 * (kb + b) + r0
+                            raw_scr[c0][rr : rr + 1, :] = sel
     k_dim = n_blocks * BLOCK
     if not mpack:
         zpad = jnp.zeros((BLOCK - rows_blk, n), jnp.bfloat16)
