@@ -28,7 +28,20 @@ N_FRAMES = 32
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: the slope method compiles two batch
+    # shapes (~6-10 min each, first time); cache them across runs
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
     from raisr_tpu.config import RaisrConfig
     from raisr_tpu.engine import RaisrEngine

@@ -93,9 +93,16 @@ def _full_kernel(
     co_s[...] = cf_o[...].astype(jnp.bfloat16)
     if mxu_passes >= 3:
         # 10/16-bit: the low-order plane (value - bf16(value)) is derived
-        # IN-KERNEL from the staged f32 plane — no extra HBM streams
-        cel_s[...] = (cf_e[...] - _round_bf16(cf_e[...])).astype(jnp.bfloat16)
-        col_s[...] = (cf_o[...] - _round_bf16(cf_o[...])).astype(jnp.bfloat16)
+        # IN-KERNEL from the staged planes — no extra HBM streams. The hi
+        # value is read back from the bf16 staging buffer (NOT via
+        # lax.reduce_precision, which has no Mosaic lowering, and not via
+        # an inline cast round-trip a compiler could fold away).
+        cel_s[...] = (cf_e[...] - ce_s[...].astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
+        col_s[...] = (cf_o[...] - co_s[...].astype(jnp.float32)).astype(
+            jnp.bfloat16
+        )
 
     # ---- gradients ---------------------------------------------------------
     # gx_*[j] = vertical gradient at local row j+1, j in [0, band+14)
@@ -476,7 +483,18 @@ def raisr_pass_pallas_full(
     k_dim = (patch_size + 1) * blk
     band = 2 * tb2
     if rowbatch <= 0:
-        rowbatch = tb2 + 2  # one matmul per (r0, c0) covering rows [-1, band+2)
+        if mpack:
+            # grouped matmuls: the [864, K] matmul runs per group of base
+            # rows with gt kept ~<= [864, 11520] f32 in VMEM (measured
+            # fastest: 10.3 ms/pass vs 11.3 per-row at 4K)
+            w2p_est = _pad_to(-(-w // 2), 128)
+            target = max(1, 11520 // w2p_est)
+            rowbatch = max(
+                d for d in range(1, tb2 + 3)
+                if (tb2 + 2) % d == 0 and d <= target
+            )
+        else:
+            rowbatch = tb2 + 2  # one matmul per (r0, c0), rows [-1, band+2)
     if (tb2 + 2) % rowbatch:
         raise ValueError("rowbatch must divide tb2 + 2")
 
