@@ -133,10 +133,10 @@ def raisr_pass(
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            # band height: 16 measured fastest at 4K (tools/tpu_check.py);
-            # halve for wide planes so the G tensor + patch-matrix scratch
-            # (both ~ (tb2+2)*w/2) stay inside the scoped-VMEM limit
-            tb2=16 if w <= 4608 else 8,
+            # band height: 32 measured fastest at 4K with the grouped
+            # mpack matmul (gt stays small, so bigger bands just cut the
+            # halo fraction — tools/kbench_full.py round-2 sweeps)
+            tb2=32 if w <= 4608 else 16,
             frame_h=frame_h,
             frame_pad=frame_pad,
         )
