@@ -133,10 +133,11 @@ def raisr_pass(
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            # band height: 32 measured fastest at 4K with the grouped
+            # band height: 48 measured fastest at 4K with the grouped
             # mpack matmul (gt stays small, so bigger bands just cut the
-            # halo fraction — tools/kbench_full.py round-2 sweeps)
-            tb2=32 if w <= 4608 else 16,
+            # halo fraction: 9.4 ms/pass at tb2=48 vs 10.7 at 16 —
+            # tools/kbench_full.py round-2 sweeps)
+            tb2=48 if w <= 4608 else 32,
             frame_h=frame_h,
             frame_pad=frame_pad,
         )
