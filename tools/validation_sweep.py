@@ -45,6 +45,17 @@ POSITIVE = [
     (f"{REF}/filters_1.5x/filters_denoise", 1.5, 8, 2, 2, 1),
 ]
 
+# round-2 knobs: batched device-resident mode and the bf16 precision tier
+POSITIVE_EXTRA = [
+    # (folder, ratio, bits, passes, mode, blending, extra_args)
+    (f"{REF}/filters_2x/filters_highres", 2.0, 8, 2, 1, 2,
+     ["--batch", "2"]),
+    (f"{REF}/filters_2x/filters_highres", 2.0, 8, 1, 1, 2,
+     ["--dtype", "bfloat16"]),
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 2, 1, 2,
+     ["--batch", "3", "--dtype", "bfloat16"]),
+]
+
 NEGATIVE_ARGS = [
     # (extra args, description)
     (["--bits", "9"], "bits=9"),
@@ -97,8 +108,10 @@ def main():
     failures = []
     n_pass = 0
 
-    positive = POSITIVE[:3] if args.quick else POSITIVE
-    for folder, ratio, bits, passes, mode, blending in positive:
+    positive = [p + ([],) for p in (POSITIVE[:3] if args.quick else POSITIVE)]
+    if not args.quick:
+        positive += POSITIVE_EXTRA
+    for folder, ratio, bits, passes, mode, blending, extra in positive:
         clip = os.path.join(work, f"in_{bits}.y4m")
         if not os.path.exists(clip):
             _make_clip(clip, bits=bits)
@@ -109,9 +122,10 @@ def main():
             "--bits", str(bits), "--passes", str(passes),
             "--mode", str(mode), "--blending", str(blending),
             "--backend", args.backend,
-        ]
+        ] + extra
         rc, out, err = _run_cli(cli_args)
-        name = f"{os.path.basename(folder)} r{ratio} b{bits} p{passes} m{mode} bl{blending}"
+        name = (f"{os.path.basename(folder)} r{ratio} b{bits} p{passes} "
+                f"m{mode} bl{blending} {' '.join(extra)}")
         if rc != 0 or "[RAISR ERROR]" in out + err:
             failures.append((name, rc, (out + err)[-300:]))
         else:
