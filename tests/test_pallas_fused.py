@@ -320,3 +320,47 @@ def test_full_pass_kernel_10bit_mxu3():
     diff = np.abs(out - ref)
     assert (diff > 2).mean() < 0.02, ((diff > 2).mean(), diff.max())
     assert np.median(diff) == 0.0
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_single_phase_kernel_frame_stacking():
+    """Guard-banded frame stacking must be bit-identical for the
+    single-phase (1.5x) whole-pass kernel too."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full_single
+
+    folder = "/root/reference/filters_1.5x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, ratio=1.5)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    f = jnp.asarray(bank.filters)
+    h, w, pad = 36, 96, 12
+    frames = [_smooth(h, w, 8, seed=50 + i) for i in range(3)]
+    singles = [
+        np.asarray(raisr_pass_pallas_full_single(jnp.asarray(img), f, **kw))
+        for img in frames
+    ]
+    stack = np.concatenate(
+        [np.pad(img, ((pad, pad), (0, 0)), mode="edge") for img in frames]
+    )
+    tall = np.asarray(
+        raisr_pass_pallas_full_single(
+            jnp.asarray(stack), f, frame_h=h, frame_pad=pad, **kw
+        )
+    )
+    period = h + 2 * pad
+    for i, single in enumerate(singles):
+        got = tall[i * period + pad : i * period + pad + h]
+        assert np.array_equal(got, single), (i, np.abs(got - single).max())
