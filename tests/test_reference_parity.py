@@ -225,3 +225,40 @@ def test_uv_resize_bit_identical(tmp_path):
             cheap_upscale(jnp.asarray(u.astype(np.float32)), H, W, bits)
         ).astype(dtype)
         assert np.array_equal(mine, u_ref), f"UV resize mismatch at {bits}-bit"
+
+
+def test_odd_dimensions_15x(tmp_path):
+    """Odd input/output dims at 1.5x (output truncation per
+    vf_raisr.c:208-224) must match the reference binary."""
+    harness = _build_harness()
+    w, h = 90, 62  # -> 135x93, both odd
+    rng = np.random.default_rng(3)
+    yp = np.clip(rng.normal(128, 40, (h, w)), 16, 235).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 128, np.uint8)
+    inp = os.path.join(str(tmp_path), "odd.yuv")
+    outp = os.path.join(str(tmp_path), "odd_out.yuv")
+    with open(inp, "wb") as f:
+        f.write(yp.tobytes())
+        f.write(u.tobytes())
+        f.write(u.tobytes())
+    r = subprocess.run(
+        [harness, os.path.join(REFERENCE_ROOT, "filters_1.5x/filters_highres"),
+         "1.5", "8", "1", "1", "2", "1", "1", "2", str(w), str(h), inp, outp],
+        capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ow, oh = int(w * 1.5), int(h * 1.5)
+    ref = np.frombuffer(
+        open(outp, "rb").read()[: ow * oh], np.uint8
+    ).reshape(oh, ow)
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+
+    cfg = RaisrConfig(
+        filterfolder=os.path.join(REFERENCE_ROOT, "filters_1.5x/filters_highres"),
+        ratio=1.5, backend="reference",
+    )
+    mine = RaisrEngine(cfg).process(Frame(y=yp)).y
+    assert mine.shape == (oh, ow)
+    assert _psnr(mine, ref, 255.0) >= 55.0
