@@ -136,8 +136,10 @@ def raisr_pass(
             # band height: 48 measured fastest at 4K with the grouped
             # mpack matmul (gt stays small, so bigger bands just cut the
             # halo fraction: 9.4 ms/pass at tb2=48 vs 10.7 at 16 —
-            # tools/kbench_full.py round-2 sweeps)
-            tb2=48 if w <= 4608 else 32,
+            # tools/kbench_full.py round-2 sweeps). mxu_passes=3 kernels
+            # unroll 50% more work per band: Mosaic compile time explodes
+            # at tb2=48, so 10/16-bit stays at tb2=32 (12.5 ms/pass).
+            tb2=(48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
             frame_h=frame_h,
             frame_pad=frame_pad,
         )
