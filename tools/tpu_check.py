@@ -149,11 +149,48 @@ def bench_dispatch_overhead():
     log(f"dispatch overhead: {(time.time()-t0)/N*1000:.2f} ms/call")
 
 
+def check_full_kernel_on_hw():
+    """Whole-pass fused kernel vs the exact taps pipeline ON REAL TPU
+    (the pytest suite validates it in interpret mode on CPU only)."""
+    import dataclasses
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.ops.pipeline import pass_statics, raisr_pass
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    statics_p = pass_statics(cfg, model, "pallas")
+    statics_t = dataclasses.replace(statics_p, backend="taps")
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(
+        np.clip(rng.normal(128, 40, (256, 512)), 16, 235)
+        .round().astype(np.float32)
+    )
+    args = (jnp.asarray(bank.filters), jnp.asarray(bank.qstr),
+            jnp.asarray(bank.qcoh))
+    ref = np.asarray(jax.jit(
+        lambda y: raisr_pass(y, *args, statics_t, 0))(img))
+    from raisr_tpu.ops.jit_utils import tpu_jit
+    out = np.asarray(tpu_jit(
+        lambda y: raisr_pass(y, *args, statics_p, 0))(img))
+    d = np.abs(out - ref)
+    frac = (d > 0).mean()
+    log(f"full kernel vs taps ON TPU: max {d.max():.3f}, frac>0 {frac:.5f}")
+    # identical f32 math; only fp-tie bucket flips may differ
+    assert frac < 0.02, frac
+    assert np.median(d) == 0.0
+
+
 if __name__ == "__main__":
     log("device:", jax.devices()[0])
     t_all = time.time()
     bench_dispatch_overhead()
     check_kernel_correctness()
+    check_full_kernel_on_hw()
     check_pipeline_quality()
     bench_kernel()
     bench_pipeline()
