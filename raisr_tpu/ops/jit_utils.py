@@ -37,6 +37,13 @@ def tpu_jit(fn=None, **jit_kwargs):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        # Under an outer jit trace, inline instead of nesting: JAX rejects
+        # compiler_options on nested jits, and the outer jit compiles the
+        # whole thing anyway (callers wanting the scoped-VMEM option on
+        # large shapes must call at top level, as the engine does).
+        leaves = jax.tree_util.tree_leaves((args, kwargs))
+        if any(isinstance(x, jax.core.Tracer) for x in leaves):
+            return fn(*args, **kwargs)
         jitted = cache.get("jit")
         if jitted is None:
             kw = dict(jit_kwargs)
