@@ -97,6 +97,28 @@ static const enum AVPixelFormat pix_fmts[] = {
     AV_PIX_FMT_NONE
 };
 
+static int config_props_input(AVFilterLink *inlink)
+{
+    AVFilterContext *ctx = inlink->dst;
+    RaisrTpuContext *s = ctx->priv;
+    const AVPixFmtDescriptor *desc = av_pix_fmt_desc_get(inlink->format);
+    int depth = desc->comp[0].depth;
+
+    /* The bits option selects the engine's sample interpretation while the
+     * pixel format is negotiated independently; a mismatch (e.g. 10-bit
+     * input without bits=10) would silently feed 16-bit buffers through the
+     * 8-bit path. Fail loudly instead. (The reference filter shares this
+     * surface but does not validate it, vf_raisr.c:101-121.) */
+    if ((depth <= 8 ? 8 : depth) != s->bits) {
+        av_log(ctx, AV_LOG_ERROR,
+               "pixel format %s has %d-bit samples but bits=%d was "
+               "requested; set bits=%d\n",
+               desc->name, depth, s->bits, depth <= 8 ? 8 : depth);
+        return AVERROR(EINVAL);
+    }
+    return 0;
+}
+
 static int config_props_output(AVFilterLink *outlink)
 {
     AVFilterContext *ctx = outlink->src;
@@ -182,6 +204,7 @@ static const AVFilterPad raisr_tpu_inputs[] = {
         .name = "default",
         .type = AVMEDIA_TYPE_VIDEO,
         .filter_frame = filter_frame,
+        .config_props = config_props_input,
     },
 };
 

@@ -7,6 +7,7 @@
 #include <Python.h>
 
 #include <dlfcn.h>
+#include <sys/stat.h>
 
 #include <cstdio>
 #include <cstdlib>
@@ -22,12 +23,37 @@ bool g_we_initialized_python = false;
 PyObject* g_bridge = nullptr;
 
 // Make the raisr_tpu package importable regardless of how the host process
-// was launched: try $RAISR_TPU_PYTHONPATH, the cwd, and the source tree the
-// shared library was built from (build/capi/libraisr_tpu.so -> repo root).
+// was launched: try $RAISR_TPU_PYTHONPATH and the source tree the shared
+// library was built from (build/capi/libraisr_tpu.so -> repo root).
+// Prepend a directory to sys.path if it contains a raisr_tpu/ package.
+// Uses the C API directly (no generated source: a path containing quotes
+// or backslashes must not be able to alter injected code).
+void sys_path_prepend_if_package(const std::string& dir) {
+  if (dir.empty()) return;
+  struct stat st;
+  if (stat((dir + "/raisr_tpu").c_str(), &st) != 0 || !S_ISDIR(st.st_mode))
+    return;
+  PyObject* path = PySys_GetObject("path");  // borrowed
+  if (!path) return;
+  PyObject* entry = PyUnicode_DecodeFSDefault(dir.c_str());
+  if (!entry) {
+    PyErr_Clear();
+    return;
+  }
+  int present = PySequence_Contains(path, entry);
+  if (present == 0) PyList_Insert(path, 0, entry);
+  if (present < 0) PyErr_Clear();
+  Py_DECREF(entry);
+}
+
+// Explicit opt-ins only: RAISR_TPU_PYTHONPATH and the install tree the
+// shared library itself lives in (dladdr). The host process's cwd is
+// deliberately NOT consulted — an embedding host (e.g. a media player)
+// run inside an untrusted directory must not import a planted
+// raisr_tpu/__init__.py from there.
 void extend_sys_path() {
-  std::string code =
-      "import sys, os\n"
-      "for p in [os.environ.get('RAISR_TPU_PYTHONPATH'), os.getcwd()";
+  const char* env = getenv("RAISR_TPU_PYTHONPATH");
+  if (env) sys_path_prepend_if_package(env);
   Dl_info info;
   if (dladdr(reinterpret_cast<void*>(&extend_sys_path), &info) &&
       info.dli_fname) {
@@ -35,15 +61,10 @@ void extend_sys_path() {
     size_t slash = libdir.rfind('/');
     if (slash != std::string::npos) {
       libdir.resize(slash);
-      code += ", '" + libdir + "', '" + libdir + "/../..'";
+      sys_path_prepend_if_package(libdir + "/../..");
+      sys_path_prepend_if_package(libdir);
     }
   }
-  code +=
-      "]:\n"
-      "    if p and os.path.isdir(os.path.join(p, 'raisr_tpu')) "
-      "and p not in sys.path:\n"
-      "        sys.path.insert(0, p)\n";
-  PyRun_SimpleString(code.c_str());
 }
 
 bool ensure_python() {

@@ -734,8 +734,14 @@ def _full_kernel_single(
     k_dim = n_blocks * BLOCK
     dims = (((1,), (0,)), ((), ()))
 
-    # raw rows t = q + o - 2 (offset o in [0, share)), valid t in [-1, band+2)
-    for q in range(0, band + 4, share):
+    # raw rows t = q + o - 2 (offset o in [0, share)), valid t in [-1, band+2).
+    # The staged block base is clamped to `band` so c_s[q : q + BLOCK] never
+    # reads past the (band + 16)-row staging buffer (at band = 16 the last
+    # unclamped base would be 18 -> rows [18, 34) of a 32-row buffer); the
+    # row a clamped iteration covers shifts to offset o = row - q, which
+    # stays inside [0, share) because rows only run to band + 3 <= q + 3.
+    for q0 in range(0, band + 4, share):
+        q = min(q0, band)
         for j in range(n_blocks):
             block = c_s[q : q + BLOCK, j + 1 : j + 1 + wp]
             pt_ref[j * BLOCK : (j + 1) * BLOCK, :] = block
@@ -750,7 +756,9 @@ def _full_kernel_single(
             o_lo = g_i * ostack
             o_hi = min(o_lo + ostack, share)
             valid = [
-                o for o in range(o_lo, o_hi) if 1 <= q + o < band + 4
+                o
+                for o in range(o_lo, o_hi)
+                if max(q0, 1) <= q + o < band + 4
             ]
             if not valid:
                 continue

@@ -32,7 +32,7 @@ from raisr_tpu.model.gaussian import gaussian_weights
 from raisr_tpu.model.loader import RaisrModel
 from raisr_tpu.ops import census, hashing
 from raisr_tpu.ops.filter_apply import apply_filters_taps, apply_filters_conv
-from raisr_tpu.ops.resize import cheap_upscale
+from raisr_tpu.ops.resize import cheap_upscale, cheap_upscale_stacked
 
 
 @dataclasses.dataclass(frozen=True)
@@ -392,7 +392,17 @@ def process_plane_y_batch(
     for pass_idx in range(passes):
         if pass_idx + 1 == two_pass_mode:
             tall_h = x.shape[0]
-            cheap = cheap_upscale(x, tall_h * out_h // h, out_w, s.bits)
+            if out_h == 2 * h and out_w == 2 * w:
+                # 2x: the slice-based resize has fixed per-row weights, so
+                # whole-stack == per-frame structurally
+                cheap = cheap_upscale(x, tall_h * 2, out_w, s.bits)
+            else:
+                # non-2x: tile per-frame weight vectors across the stack so
+                # frame rows are bit-identical to the per-frame resize
+                cheap = cheap_upscale_stacked(
+                    x, n, h, cur_pad, out_h, cur_pad * out_h // h,
+                    out_w, s.bits,
+                )
             cur_fh, cur_pad = out_h, cur_pad * out_h // h
         else:
             cheap = x

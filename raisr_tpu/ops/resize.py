@@ -72,3 +72,49 @@ def cheap_upscale(img: jnp.ndarray, out_h: int, out_w: int, bits: int) -> jnp.nd
     out = bilinear_upscale(img, out_h, out_w)
     max_full = float((1 << bits) - 1)
     return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)
+
+
+def cheap_upscale_stacked(
+    img: jnp.ndarray,
+    n_frames: int,
+    in_h: int,
+    pad_in: int,
+    out_h: int,
+    pad_out: int,
+    out_w: int,
+    bits: int,
+) -> jnp.ndarray:
+    """Cheap upscale of a guard-banded vertical frame stack whose frame rows
+    are bit-identical to cheap_upscale() of each frame alone.
+
+    The vertical index/weight vectors are computed ONCE for a single frame —
+    the same float64 arithmetic as the per-frame path — and tiled across the
+    stack. Computing them from global stacked row indices instead (what a
+    plain whole-stack resize does) can differ in the last ulp at non-2x
+    ratios and flip rare round-half-up ties by 1 LSB; tiling makes the
+    identity structural. Guard rows replicate the frame's edge mapping —
+    their values fill the inter-frame guard band only and never influence
+    frame outputs (the RAISR support of every in-zone frame pixel lies
+    inside its frame; see ops.pipeline.process_plane_y_batch)."""
+    period_in = in_h + 2 * pad_in
+    assert img.shape[0] == n_frames * period_in, (img.shape, n_frames, period_in)
+    r0, r1, rf = _axis_weights(in_h, out_h)
+    top = np.full(pad_out, pad_in, np.int32)  # frame row 0
+    bot = np.full(pad_out, pad_in + in_h - 1, np.int32)  # frame last row
+    zf = np.zeros(pad_out, np.float32)
+    p_r0 = np.concatenate([top, r0 + pad_in, bot])
+    p_r1 = np.concatenate([top, r1 + pad_in, bot])
+    p_rf = np.concatenate([zf, rf, zf])
+    offs = (np.arange(n_frames, dtype=np.int32) * period_in)[:, None]
+    g_r0 = jnp.asarray((p_r0[None, :] + offs).reshape(-1))
+    g_r1 = jnp.asarray((p_r1[None, :] + offs).reshape(-1))
+    g_rf = jnp.asarray(np.tile(p_rf, n_frames))
+
+    img = img.astype(jnp.float32)
+    a = jnp.take(img, g_r0, axis=0)
+    rows = a + (jnp.take(img, g_r1, axis=0) - a) * g_rf[:, None]
+    c0, c1, cf = _axis_weights(img.shape[1], out_w)
+    b = jnp.take(rows, c0, axis=1)
+    out = b + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
+    max_full = float((1 << bits) - 1)
+    return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)

@@ -69,10 +69,12 @@ def _parse_y4m_colorspace(tag: str) -> tuple[str, int]:
     """C-tag -> (subsampling, bits). e.g. 420jpeg/420mpeg2/420paldv -> 420/8,
     420p10 -> 420/10, mono -> mono/8."""
     if tag.startswith("mono"):
-        m = re.match(r"mono(p(\d+))?$", tag)
+        # FFmpeg's yuv4mpeg (de)muxer spells high-bit mono without the 'p'
+        # (Cmono10/Cmono16); accept both spellings
+        m = re.match(r"mono(?:p?(\d+))?$", tag)
         if not m:
             raise RaisrError(f"unsupported Y4M colorspace: C{tag}")
-        bits = int(m.group(2)) if m.group(2) else 8
+        bits = int(m.group(1)) if m.group(1) else 8
         if bits not in (8, 10, 12, 16):
             raise RaisrError(f"unsupported Y4M bit depth: C{tag}")
         return "mono", bits
@@ -153,8 +155,9 @@ class Y4MWriter:
             ("420", 16): "420p16",
             ("422", 16): "422p16",
             ("444", 16): "444p16",
-            ("mono", 10): "monop10",
-            ("mono", 16): "monop16",
+            # FFmpeg interop: its yuv4mpeg muxer tags these Cmono10/Cmono16
+            ("mono", 10): "mono10",
+            ("mono", 16): "mono16",
         }.get((fmt.subsampling, fmt.bits))
         if ctag is None:
             raise RaisrError(

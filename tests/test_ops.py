@@ -60,6 +60,34 @@ class TestResize:
         out = np.asarray(bilinear_upscale(jnp.asarray(img), 1, 6))
         np.testing.assert_allclose(out[0], [0.0, 25.0, 75.0, 125.0, 175.0, 200.0])
 
+    def test_stacked_15x_bit_identical_to_per_frame(self):
+        """cheap_upscale_stacked frame rows must equal cheap_upscale of each
+        frame alone, bit for bit, even thousands of rows into the stack
+        (global-offset f64 weights can flip round-half-up ties; the stacked
+        path tiles the per-frame weight vectors instead)."""
+        from raisr_tpu.ops.resize import cheap_upscale_stacked
+
+        h, w, pad, n = 36, 24, 12, 40  # stack of 2400 input rows
+        out_h, out_w = 54, 36
+        pad_out = pad * out_h // h
+        frames = [
+            RNG.integers(0, 255, size=(h, w)).astype(np.float32)
+            for _ in range(n)
+        ]
+        stack = np.concatenate(
+            [np.pad(f, ((pad, pad), (0, 0)), mode="edge") for f in frames]
+        )
+        tall = np.asarray(
+            cheap_upscale_stacked(
+                jnp.asarray(stack), n, h, pad, out_h, pad_out, out_w, 8
+            )
+        )
+        period = out_h + 2 * pad_out
+        for i, f in enumerate(frames):
+            got = tall[i * period + pad_out : i * period + pad_out + out_h]
+            want = np.asarray(cheap_upscale(jnp.asarray(f), out_h, out_w, 8))
+            assert np.array_equal(got, want), (i, np.abs(got - want).max())
+
 
 class TestHash:
     def test_matches_oracle(self):

@@ -325,6 +325,38 @@ def test_full_pass_kernel_10bit_mxu3():
 @pytest.mark.skipif(
     not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
 )
+def test_single_phase_kernel_tb2_8():
+    """tb2=8 (band=16, the wide-input config pipeline.py selects) must equal
+    tb2=16 bit for bit. Regression for the staging overrun: at band=16 the
+    last unclamped patch-block base was 18, reading rows [18, 34) of the
+    32-row staging scratch (ADVICE r2)."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full_single
+
+    folder = "/root/reference/filters_1.5x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, ratio=1.5)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    img = _smooth(42, 96, 8, seed=31)
+    f = jnp.asarray(bank.filters)
+    a = np.asarray(raisr_pass_pallas_full_single(jnp.asarray(img), f, tb2=16, **kw))
+    b = np.asarray(raisr_pass_pallas_full_single(jnp.asarray(img), f, tb2=8, **kw))
+    assert np.array_equal(a, b), np.abs(a - b).max()
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
 def test_single_phase_kernel_frame_stacking():
     """Guard-banded frame stacking must be bit-identical for the
     single-phase (1.5x) whole-pass kernel too."""

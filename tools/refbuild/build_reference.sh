@@ -6,9 +6,11 @@
 # Mirrors the reference build flags (reference CMakeLists.txt:23-31:
 # -march=native -O3 -std=c++17 -DNDEBUG -ffast-math -Wno-narrowing) with
 # USE_ATAN2_APPROX (non-Intel compiler path, reference CMakeLists.txt:36-41).
-# AVX512 sources are included when the host supports avx512f/vl/bw/dq;
-# AVX512FP16 is skipped (no host support - same as the reference's own
-# check_cxx_source_runs probe failing).
+# AVX512 sources are included when the host supports avx512f/vl/bw/dq.
+# AVX512FP16 needs no extra TU: Raisr.cpp #include-s Raisr_AVX512FP16.cpp
+# under __AVX512FP16__ (Raisr.cpp:29-31), which -march=native defines on
+# hosts with the avx512_fp16 flag — then asm=5 selects the half-precision
+# pipeline (gAsmType == AVX512_FP16, Raisr.cpp:1492-1501).
 set -e
 cd "$(dirname "$0")/../.."
 REF=${REFERENCE_ROOT:-/root/reference}
