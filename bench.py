@@ -7,6 +7,18 @@ Baseline: the reference needs a 32-vCPU C7i (or ~full Xeon socket share) for
 60 fps of this workload (reference docs/performance.md:26); BASELINE.md sets
 the target at >= 60 fps sustained per TPU v5e chip.
 
+Tier: the bench runs the bf16 tier (--dtype bfloat16, mxu_passes=1 with
+error-diffused filter rounding) — the direct analogue of the tier the
+reference itself benches with: on AVX512FP16-capable Xeons the reference
+AUTO-SELECTS its half-precision pipeline (Raisr.cpp:1492-1501), which is
+the +25% behind its production numbers (docs/performance.md:5). The tier is
+quality-qualified against the real thing: our bf16 output is strictly
+closer to the reference's f32 AVX-512 output (62.6 dB PSNR, max 6 LSB)
+than the reference's own AVX512FP16 output is (54.7 dB, max 8 LSB) —
+enforced by tests/test_reference_parity.py::
+test_bf16_tier_inside_reference_fp16_envelope against the compiled
+reference. The full-precision tier's numbers live in docs/PERFORMANCE.md.
+
 Methodology (see docs/PERFORMANCE.md): the remote-execution tunnel adds
 ~100 ms per dispatch and may cache identical dispatches, so throughput is
 measured as ONE dispatch over a batch of frames, fenced by a host fetch,
@@ -48,7 +60,11 @@ def main():
 
     folder = "/root/reference/filters_2x/filters_highres"
     backend = "reference" if jax.default_backend() == "cpu" else "pallas"
-    cfg = RaisrConfig(filterfolder=folder, passes=2, backend=backend)
+    # bf16 tier on TPU: the reference's own auto-selected AVX512FP16 tier
+    # analogue, quality-qualified (see module docstring)
+    dtype = "float32" if jax.default_backend() == "cpu" else "bfloat16"
+    cfg = RaisrConfig(filterfolder=folder, passes=2, backend=backend,
+                      dtype=dtype)
     engine = RaisrEngine(cfg)
 
     n = N_FRAMES if jax.default_backend() != "cpu" else 1
@@ -97,10 +113,18 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "1080p->4K 2-pass Y-plane frames/sec/chip (filters_2x/filters_highres, CoBC blend)",
+                "metric": "1080p->4K 2-pass Y-plane frames/sec/chip (filters_2x/filters_highres, CoBC blend, bf16 tier = reference's auto-selected AVX512FP16 tier)",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "tier": "bf16 (mxu_passes=1, error-diffused filter rounding)",
+                "quality_basis": (
+                    "strictly closer to the compiled reference's f32 AVX-512 "
+                    "output (62.6 dB, max 6 LSB) than the reference's own "
+                    "AVX512FP16 tier is (54.7 dB, max 8 LSB); enforced by "
+                    "tests/test_reference_parity.py::"
+                    "test_bf16_tier_inside_reference_fp16_envelope"
+                ),
             }
         )
     )

@@ -37,6 +37,34 @@ from raisr_tpu.ops.pallas.filter_kernel import (
 _ABLATE = os.environ.get("RAISR_ABLATE", "")  # bench-only: skip a stage
 
 
+def _round_bf16_error_diffused(f: jnp.ndarray) -> jnp.ndarray:
+    """Round filter taps to bf16 with error diffusion along the last axis.
+
+    For the single-matmul bf16 tier the only precision loss is the filter
+    rounding: raw error = sum_k eps_k x_k with eps_k the per-tap rounding
+    residual. Patches are strongly correlated (11x11 local windows), so the
+    DC term (sum_k eps_k) * mean(x) dominates. Carrying the running residual
+    into the next tap's rounding keeps |sum_k eps_k| under one ulp of a
+    single tap instead of a 121-step random walk — measured +10.4 dB vs the
+    compiled reference's f32 output (52.3 -> 62.6 dB, maxdiff 14 -> 6 on the
+    parity-content 2-pass run), for free: no runtime cost, the taps are
+    already bf16-representable when the kernel later casts them. That places
+    the bf16 tier strictly inside the reference's own AVX512FP16-vs-f32
+    envelope (54.7 dB, maxdiff 8 on the same content —
+    tests/test_reference_parity.py::test_bf16_tier_inside_reference_fp16_envelope).
+
+    Runs at trace time over the [*, n_taps] filter table (tiny)."""
+    from raisr_tpu.ops.pallas.filter_kernel import _round_bf16
+
+    carry = jnp.zeros(f.shape[:-1], f.dtype)
+    qs = []
+    for k in range(f.shape[-1]):
+        q = _round_bf16(f[..., k] + carry)
+        carry = carry + f[..., k] - q
+        qs.append(q)
+    return jnp.stack(qs, axis=-1)
+
+
 def _full_kernel(
     *refs,
     tb2: int,
@@ -63,6 +91,8 @@ def _full_kernel(
     col_end: int,
     frame_h: int,
     frame_pad: int,
+    zone_h: int,
+    p_split: bool,
 ):
     from raisr_tpu.ops.hashing import atan2_approx
 
@@ -72,11 +102,13 @@ def _full_kernel(
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
     fs = tuple(next(it) for _ in range(1 if mpack else 4))
+    row0_ref = next(it)  # SMEM [1] int32: global row of plane row 0 (stripes)
     out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
     cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
     ce_s = next(it)  # bf16 staging
     co_s = next(it)
-    if mxu_passes >= 3:
+    need_lo = mxu_passes >= 3 or p_split
+    if need_lo:
         cel_s = next(it)
         col_s = next(it)
     bkt_scr = (next(it), next(it))  # int32 [band + 8, w2p]
@@ -91,7 +123,7 @@ def _full_kernel(
     cf_o[band : band + 16, :] = cob[0:16, :]
     ce_s[...] = cf_e[...].astype(jnp.bfloat16)
     co_s[...] = cf_o[...].astype(jnp.bfloat16)
-    if mxu_passes >= 3:
+    if need_lo:
         # 10/16-bit: the low-order plane (value - bf16(value)) is derived
         # IN-KERNEL from the staged planes — no extra HBM streams. The hi
         # value is read back from the bf16 staging buffer (NOT via
@@ -120,30 +152,58 @@ def _full_kernel(
     # raw rows t in [-1, band+2); tensor support local rows t+2..t+12;
     # vert output index t' = t+1 in [0, band+3)
     n_vert = band + 3
+    nk = len(k1d)
+    # The Gaussian window is symmetric (k1d[i] == k1d[nk-1-i]): pair the
+    # mirrored taps and multiply their SUM by the shared weight — 6 VPU
+    # multiplies per 11-tap conv instead of 11 (adds unchanged). ~-25% of
+    # the tensor-conv VPU work (NOTES r2 lever #2a).
+    k_sym = (
+        all(k1d[i] == k1d[nk - 1 - i] for i in range(nk))
+        and _ABLATE != "nopair"
+    )
 
     def vert(mp):
+        if not k_sym:
+            acc = None
+            for i, kv in enumerate(k1d):
+                t = mp[i : i + n_vert, :] * kv
+                acc = t if acc is None else acc + t
+            return acc
         acc = None
-        for i, kv in enumerate(k1d):
-            t = mp[i : i + n_vert, :] * kv
+        for i in range(nk // 2):
+            i2 = nk - 1 - i
+            t = (mp[i : i + n_vert, :] + mp[i2 : i2 + n_vert, :]) * k1d[i]
             acc = t if acc is None else acc + t
-        return acc
+        mid = nk // 2
+        return acc + mp[mid : mid + n_vert, :] * k1d[mid]
 
     v_maps = {}
     for par, gx, gy in (("e", gx_e, gy_e), ("o", gx_o, gy_o)):
         v_maps[par] = (vert(gx * gx), vert(gx * gy), vert(gy * gy))
 
     def horiz(par):
+        def src_off(j):
+            """(source parity plane, lane offset) of horizontal tap j."""
+            if par == "e":
+                if j % 2 == 1:
+                    return "e", (j - 5) // 2
+                return "o", (j - 6) // 2
+            if j % 2 == 0:
+                return "e", (j - 4) // 2
+            return "o", (j - 5) // 2
+
         outs = []
         for comp in range(3):
             acc = None
-            for j, kv in enumerate(k1d):
-                if par == "e":
-                    src_par = "e" if j % 2 == 1 else "o"
-                    off = (j - 5) // 2 if j % 2 == 1 else (j - 6) // 2
-                else:
-                    src_par = "e" if j % 2 == 0 else "o"
-                    off = (j - 4) // 2 if j % 2 == 0 else (j - 5) // 2
-                t = _roll(v_maps[src_par][comp], -off) * kv
+            for j in range(nk // 2 + 1 if k_sym else nk):
+                sp1, off1 = src_off(j)
+                t = _roll(v_maps[sp1][comp], -off1)
+                j2 = nk - 1 - j
+                if k_sym and j2 != j:
+                    # mirrored tap has the same parity class -> same source
+                    sp2, off2 = src_off(j2)
+                    t = t + _roll(v_maps[sp2][comp], -off2)
+                t = t * k1d[j]
                 acc = t if acc is None else acc + t
             outs.append(acc * nf)
         return outs
@@ -212,13 +272,17 @@ def _full_kernel(
                         j * rows_blk : (j + 1) * rows_blk,
                         b * w2p : (b + 1) * w2p,
                     ] = plane[q : q + rows_blk, off : off + w2p]
-                    if mxu_passes >= 3:
+                    if need_lo:
+                        # lo plane K-slot: 3rd slot for mxu3 ([Fhi,Flo,Fhi] x
+                        # [Phi,Phi,Plo]); 2nd slot for the p_split fast tier
+                        # ([F',F'] x [Phi,Plo] — F' error-diffused, P exact)
+                        lo_base = (2 if mxu_passes >= 3 else 1) * k_dim
                         planel = cel_s if parity == 0 else col_s
                         pt_ref[
-                            2 * k_dim + j * rows_blk : 2 * k_dim + (j + 1) * rows_blk,
+                            lo_base + j * rows_blk : lo_base + (j + 1) * rows_blk,
                             b * w2p : (b + 1) * w2p,
                         ] = planel[q : q + rows_blk, off : off + w2p]
-            if mxu_passes >= 2:
+            if mxu_passes >= 2 and not p_split:
                 pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
 
             # matmul granularity: gchunk base rows per [864, K] matmul
@@ -269,14 +333,15 @@ def _full_kernel(
                     j * BLOCK : j * BLOCK + rows_blk,
                     b * w2p : (b + 1) * w2p,
                 ] = block
-                if mxu_passes >= 3:
+                if need_lo:
+                    lo_base = (2 if mxu_passes >= 3 else 1) * k_dim
                     planel = cel_s if parity == 0 else col_s
                     pt_ref[
-                        2 * k_dim + j * BLOCK : 2 * k_dim + j * BLOCK + rows_blk,
+                        lo_base + j * BLOCK : lo_base + j * BLOCK + rows_blk,
                         b * w2p : (b + 1) * w2p,
                     ] = planel[q : q + rows_blk, off : off + w2p]
 
-        if mxu_passes >= 2:
+        if mxu_passes >= 2 and not p_split:
             # duplicate the hi patch block for the K-packed lo filters in
             # one bulk scratch-to-scratch copy instead of per-block writes
             pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
@@ -330,7 +395,9 @@ def _full_kernel(
 
     # ---- epilogue: reject + zone masks + census blend + rounding ------------
     i_band = pl.program_id(0)
-    g0 = i_band * band  # global full row of band row 0
+    # global full row of band row 0: row0 offsets all zone tests when the
+    # plane is a halo-extended stripe of a larger frame (row-sharded mode)
+    g0 = i_band * band + row0_ref[0]
 
     def frame_row(rows):
         """Map a global row to its per-frame row coordinate.
@@ -345,7 +412,7 @@ def _full_kernel(
         period = frame_h + 2 * frame_pad
         return jnp.mod(rows + (period - frame_pad), period)
 
-    eff_h = h_total if frame_h <= 0 else frame_h
+    eff_h = (zone_h if zone_h > 0 else h_total) if frame_h <= 0 else frame_h
     lane_iota = lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 1)
     row_iota = frame_row(
         lax.broadcasted_iota(jnp.int32, (band + 2, w2p), 0) + (g0 - 1)
@@ -444,7 +511,7 @@ def _full_kernel(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "mpack",
-        "interpret", "frame_h", "frame_pad",
+        "interpret", "frame_h", "frame_pad", "zone_h", "p_split",
     ),
 )
 def raisr_pass_pallas_full(
@@ -471,8 +538,19 @@ def raisr_pass_pallas_full(
     interpret: bool = False,
     frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
     frame_pad: int = 0,
+    row0: jnp.ndarray | None = None,  # traced scalar: global row of row 0
+    zone_h: int = 0,  # >0: global frame height for zone tests (stripes)
+    p_split: bool = False,  # fast tier for >8-bit: [F',F'] x [Phi,Plo]
 ) -> jnp.ndarray:
-    """One complete RAISR pass (ratio 2), fused end to end."""
+    """One complete RAISR pass (ratio 2), fused end to end.
+
+    row0/zone_h (row-sharded mode): when `cheap` is a halo-extended stripe
+    of a taller frame, row0 holds the global frame row of cheap[0] (may be
+    traced, e.g. derived from lax.axis_index inside shard_map — the same
+    compiled kernel serves every stripe) and zone_h the global frame height;
+    all zone masks then use global coordinates, matching the reference's
+    segments running the same hot loop as whole frames (Raisr.cpp:1369-1382).
+    """
     from raisr_tpu.ops.pipeline import processed_col_end
 
     pixel_types = 4
@@ -515,6 +593,10 @@ def raisr_pass_pallas_full(
     # 10/16-bit low-order planes are derived in-kernel from the f32 staging
 
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
+    if mxu_passes == 1 or p_split:
+        f_all = _round_bf16_error_diffused(
+            f_all.reshape(NB, pixel_types, n_taps)
+        ).reshape(NB, pixel_types, patch_size, patch_size)
     n_blocks = patch_size + 1
     f_phase = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
@@ -527,7 +609,10 @@ def raisr_pass_pallas_full(
             jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
         )
         fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
-        parts = [fhi, flo, fhi][:mxu_passes]
+        # p_split (fast tier for >8-bit content): [F', F'] against
+        # [Phi, Plo] — the error-diffused F' carries all filter precision,
+        # the two P slots make the patch values exact
+        parts = [fhi, fhi] if p_split else [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
     if mpack:
         f_phase = [jnp.concatenate(f_phase, axis=0)]  # [4 * NB, mxu * 144]
@@ -572,9 +657,11 @@ def raisr_pass_pallas_full(
         col_end=processed_col_end(w, m + 1, exact_edges),
         frame_h=frame_h,
         frame_pad=frame_pad,
+        zone_h=zone_h,
+        p_split=p_split,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
-    n_stage = 2 if mxu_passes < 3 else 4
+    n_stage = 4 if (mxu_passes >= 3 or p_split) else 2
     scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.int32) for _ in range(2)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.float32) for _ in range(2)]
@@ -592,15 +679,19 @@ def raisr_pass_pallas_full(
         plane_args.append(
             pln[band : (n_tiles + 1) * band].reshape(n_tiles, band, plane_w)
         )
+    row0_arr = jnp.asarray(
+        0 if row0 is None else row0, jnp.int32
+    ).reshape(1)
+    row0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + [f_spec] * len(f_phase),
+        in_specs=plane_specs + [f_spec] * len(f_phase) + [row0_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*plane_args, *f_phase)
+    )(*plane_args, *f_phase, row0_arr)
     out = out.reshape(2 * h2p, 2 * w2p)
 
     oute = out[:, :w2p]
@@ -637,6 +728,7 @@ def _full_kernel_single(
     col_end: int,
     frame_h: int,
     frame_pad: int,
+    zone_h: int,
 ):
     """Whole RAISR pass for single-phase banks: stride-1 output rows.
 
@@ -657,6 +749,7 @@ def _full_kernel_single(
         cla, clb = next(it), next(it)
     n_f = -(-share // ostack)
     fs = tuple(next(it) for _ in range(n_f))
+    row0_ref = next(it)  # SMEM [1] int32: global row of plane row 0 (stripes)
     out_ref = next(it)  # [band, wp]
     cf = next(it)  # f32 staging [band + 16, plane_w]
     c_s = next(it)  # bf16 staging
@@ -774,7 +867,7 @@ def _full_kernel_single(
 
     # ---- epilogue: reject + zone masks + census blend + rounding ------------
     i_band = pl.program_id(0)
-    g0 = i_band * band
+    g0 = i_band * band + row0_ref[0]  # global row (stripes: row0 offset)
 
     def frame_row(rows):
         if frame_h <= 0:
@@ -782,7 +875,7 @@ def _full_kernel_single(
         period = frame_h + 2 * frame_pad
         return jnp.mod(rows + (period - frame_pad), period)
 
-    eff_h = h_total if frame_h <= 0 else frame_h
+    eff_h = (zone_h if zone_h > 0 else h_total) if frame_h <= 0 else frame_h
     lane_iota = lax.broadcasted_iota(jnp.int32, (band + 2, wp), 1)
     row_iota = frame_row(
         lax.broadcasted_iota(jnp.int32, (band + 2, wp), 0) + (g0 - 1)
@@ -858,7 +951,7 @@ def _full_kernel_single(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "ostack", "interpret",
-        "frame_h", "frame_pad",
+        "frame_h", "frame_pad", "zone_h",
     ),
 )
 def raisr_pass_pallas_full_single(
@@ -882,6 +975,8 @@ def raisr_pass_pallas_full_single(
     interpret: bool = False,
     frame_h: int = 0,
     frame_pad: int = 0,
+    row0: jnp.ndarray | None = None,  # traced scalar: global row of row 0
+    zone_h: int = 0,  # >0: global frame height for zone tests (stripes)
 ) -> jnp.ndarray:
     """One complete RAISR pass for single-phase filter banks (ratio != 2,
     reference gUsePixelType == false, Raisr.cpp:1477-1480), fused end to end."""
@@ -910,6 +1005,10 @@ def raisr_pass_pallas_full_single(
         planes.append(padded - _round_bf16(padded))
 
     f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
+    if mxu_passes == 1:
+        f_all = _round_bf16_error_diffused(
+            f_all.reshape(NB, n_taps)
+        ).reshape(NB, patch_size, patch_size)
     n_f = -(-share // ostack)
     f_groups = []
     for g_i in range(n_f):
@@ -955,6 +1054,7 @@ def raisr_pass_pallas_full_single(
         col_end=processed_col_end(w, m + 1, exact_edges),
         frame_h=frame_h,
         frame_pad=frame_pad,
+        zone_h=zone_h,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32)]
     n_stage = 1 if mxu_passes < 3 else 2
@@ -975,13 +1075,17 @@ def raisr_pass_pallas_full_single(
         pl.BlockSpec(f.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for f in f_groups
     ]
+    row0_arr = jnp.asarray(
+        0 if row0 is None else row0, jnp.int32
+    ).reshape(1)
+    row0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + f_specs,
+        in_specs=plane_specs + f_specs + [row0_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, band, wp), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*plane_args, *f_groups)
+    )(*plane_args, *f_groups, row0_arr)
     return out.reshape(hp, wp)[:h, :w]

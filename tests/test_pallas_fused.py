@@ -177,9 +177,54 @@ def test_bf16_tier_config_wiring():
     folder = "/root/reference/filters_2x/filters_highres"
     cfg = RaisrConfig(filterfolder=folder, dtype="bfloat16")
     model = load_model(folder, cfg)
-    assert pass_statics(cfg, model, "pallas").mxu_passes == 1
+    s8 = pass_statics(cfg, model, "pallas")
+    assert s8.mxu_passes == 1 and not s8.p_split
     cfg10 = RaisrConfig(filterfolder=folder, bits=10)
-    assert pass_statics(cfg10, model, "pallas").mxu_passes == 3
+    s10 = pass_statics(cfg10, model, "pallas")
+    assert s10.mxu_passes == 3 and not s10.p_split
+    cfg10f = RaisrConfig(filterfolder=folder, bits=10, dtype="bfloat16")
+    s10f = pass_statics(cfg10f, model, "pallas")
+    assert s10f.mxu_passes == 2 and s10f.p_split
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_p_split_10bit():
+    """>8-bit fast tier (p_split: [F',F'] x [Phi,Plo], error-diffused F'):
+    patches stay exact, so quality matches the 8-bit bf16 tier's class —
+    MUCH closer to the f32-grade tier than a plain bf16 patch rounding
+    (which measures 50.6 dB / max 45 vs the reference, outside its own
+    FP16@10bit envelope of 57.1 dB / max 20)."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, bits=10)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+
+    img = _smooth(48, 64, 10, seed=35)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(10),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    f32 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=3, **kw))
+    fast = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=2,
+        p_split=True, **kw))
+    diff = np.abs(fast - f32)
+    assert (diff > 32).mean() < 5e-3, (diff > 32).mean()
+    mse = float((diff.astype(np.float64) ** 2).mean())
+    psnr = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+    assert psnr >= 40.0, psnr
 
 
 @pytest.mark.parametrize("blending", [1, 2])

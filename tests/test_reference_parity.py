@@ -123,16 +123,95 @@ def _psnr(a, b, peak):
     ],
 )
 def test_8bit_matches_avx512(tmp_path, name, kw):
-    """8-bit CoBC outputs must be essentially identical to the AVX-512
-    reference binary (the reference's own ISA spread at 8-bit is <=1 LSB)."""
+    """8-bit CoBC outputs vs the AVX-512 reference binary.
+
+    Measured r3 state (this content): PSNR 66.3-85.1 dB, max |diff| <= 7,
+    frac(|diff|>2) <= 4.5e-4. The residual is rare hash-bucket flips at fp
+    ties: the reference sums 121 structure-tensor products in scalar C++
+    order (and AVX-512 additionally uses rsqrt14 approximations,
+    Raisr_AVX512.cpp:175-258) while we sum vectorized — exact <=2 LSB
+    everywhere would require replicating their summation order AND their
+    rsqrt14 error. The honest bar: at least as close to the AVX-512 output
+    as the reference's own exact-sqrt AVX2 build is, plus tight absolute
+    bounds on PSNR / max / flip fraction."""
     yp = _content(8)
     mine_kw = {k: v for k, v in kw.items() if k != "threads"}
     ref = _run_reference(str(tmp_path), yp, asm=2, **kw)
+    ref_avx2 = _run_reference(str(tmp_path), yp, asm=1, **kw)
     mine = _run_mine(yp, **mine_kw)
     p = _psnr(mine, ref, 255.0)
-    maxd = np.abs(mine.astype(int) - ref.astype(int)).max()
-    assert p >= 55.0, f"{name}: PSNR vs reference {p:.2f} dB"
-    assert maxd <= 8, f"{name}: max |diff| {maxd}"
+    p_isa = _psnr(ref_avx2, ref, 255.0)  # the reference's own ISA spread
+    d = np.abs(mine.astype(int) - ref.astype(int))
+    assert p >= 60.0, f"{name}: PSNR vs reference {p:.2f} dB"
+    assert p >= p_isa - 0.5, f"{name}: PSNR {p:.2f} vs ISA spread {p_isa:.2f}"
+    assert d.max() <= 8, f"{name}: max |diff| {d.max()}"
+    assert (d > 2).mean() <= 1e-3, f"{name}: frac>2 {(d > 2).mean():.6f}"
+
+
+def test_multiframe_clip_parity(tmp_path):
+    """Multi-frame parity: a 6-frame clip with motion (panning texture +
+    edges + per-frame noise) through the reference binary's frame loop
+    (SetRes once + Process per frame, harness.cpp) vs our StreamProcessor
+    batched path (batch=4: one full group + a padded tail). Every frame must
+    meet the single-frame envelope bounds."""
+    import jax.numpy as jnp
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+    from raisr_tpu.stream import StreamProcessor
+
+    n = 6
+    rng = np.random.default_rng(21)
+    x, y = np.meshgrid(np.arange(W + n), np.arange(H))
+    base = 60 + 80 * np.sin(x / 9.0) + 60 * (y > H // 2) + 40 * np.sin((x + y) / 5.0)
+    frames = [
+        np.clip(base[:, i : i + W] + rng.normal(0, 6, (H, W)), 16, 235)
+        .astype(np.uint8)
+        for i in range(n)  # 1-px horizontal pan per frame
+    ]
+
+    harness = _build_harness()
+    inp = os.path.join(str(tmp_path), "clip.yuv")
+    outp = os.path.join(str(tmp_path), "clip_out.yuv")
+    mid = np.full((H // 2, W // 2), 128, np.uint8)
+    with open(inp, "wb") as f:
+        for fr in frames:
+            f.write(fr.tobytes())
+            f.write(mid.tobytes())
+            f.write(mid.tobytes())
+    r = subprocess.run(
+        [harness, os.path.join(REFERENCE_ROOT, "filters_2x/filters_highres"),
+         "2", "8", "1", "1", "2", "2", "1", "2", str(W), str(H), inp, outp,
+         str(n)],
+        capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    ow, oh = 2 * W, 2 * H
+    frame_bytes = ow * oh + 2 * (ow // 2) * (oh // 2)
+    blob = open(outp, "rb").read()
+    refs = [
+        np.frombuffer(blob[i * frame_bytes : i * frame_bytes + ow * oh],
+                      np.uint8).reshape(oh, ow).astype(int)
+        for i in range(n)
+    ]
+
+    cfg = RaisrConfig(
+        filterfolder=os.path.join(REFERENCE_ROOT, "filters_2x/filters_highres"),
+        passes=2, backend="reference",
+    )
+    engine = RaisrEngine(cfg)
+    outs = list(
+        StreamProcessor(engine, depth=2, batch=4).process(
+            iter([Frame(y=fr, u=mid, v=mid) for fr in frames])
+        )
+    )
+    assert len(outs) == n
+    for i, (mine_f, ref_f) in enumerate(zip(outs, refs)):
+        mine = mine_f.y.astype(int)
+        p = _psnr(mine, ref_f, 255.0)
+        d = np.abs(mine - ref_f)
+        assert p >= 60.0, (i, p)
+        assert d.max() <= 8 and (d > 2).mean() <= 1e-3, (i, d.max())
 
 
 def test_randomness_blend(tmp_path):
@@ -187,6 +266,51 @@ def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
     p_ref = _psnr(ref, hr, 255.0)
     p_mine = _psnr(mine, hr, 255.0)
     assert abs(p_mine - p_ref) <= 0.05, (p_mine, p_ref)
+
+
+@pytest.mark.skipif(
+    "avx512_fp16" not in open("/proc/cpuinfo").read(),
+    reason="host CPU lacks AVX512FP16; reference fp16 tier not buildable",
+)
+def test_bf16_tier_inside_reference_fp16_envelope(tmp_path):
+    """The bf16 tier (mxu_passes=1, --dtype bfloat16) is the analogue of the
+    reference's AVX512FP16 tier — the tier behind its production 60-fps
+    recipe (+25% over f32, /root/reference/docs/performance.md:5). Qualify
+    it for real, against the compiled reference with the FP16 path enabled
+    (asm=5, Raisr.cpp:1492-1501): our bf16 output must be at least as close
+    to the reference's f32 AVX-512 output as the reference's OWN FP16 output
+    is, on both PSNR and max |diff|. This is the quality basis on which
+    bench.py reports the fast tier."""
+    import jax.numpy as jnp  # noqa: F401  (engine import chain needs jax)
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+    import raisr_tpu.ops.pallas.full_kernel as fk
+
+    yp = _content(8)
+    kw = dict(folder="filters_2x/filters_highres", passes=2)
+    ref_f32 = _run_reference(str(tmp_path), yp, asm=2, **kw).astype(int)
+    ref_fp16 = _run_reference(str(tmp_path), yp, asm=5, **kw).astype(int)
+
+    orig = fk.raisr_pass_pallas_full
+    fk.raisr_pass_pallas_full = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        cfg = RaisrConfig(
+            filterfolder=os.path.join(REFERENCE_ROOT, kw["folder"]),
+            passes=2, backend="pallas", dtype="bfloat16",
+        )
+        mine = RaisrEngine(cfg).process(Frame(y=yp)).y.astype(int)
+    finally:
+        fk.raisr_pass_pallas_full = orig
+
+    p_ref16 = _psnr(ref_fp16, ref_f32, 255.0)  # the reference's own envelope
+    p_mine = _psnr(mine, ref_f32, 255.0)
+    d_ref16 = np.abs(ref_fp16 - ref_f32).max()
+    d_mine = np.abs(mine - ref_f32).max()
+    assert p_mine >= p_ref16, (p_mine, p_ref16)
+    assert d_mine <= d_ref16, (d_mine, d_ref16)
+    # and the envelope itself is what BASELINE assumed: a fast tier, not junk
+    assert p_ref16 >= 50.0, p_ref16
 
 
 def test_uv_resize_bit_identical(tmp_path):
