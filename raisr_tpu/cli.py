@@ -33,7 +33,7 @@ if os.environ.get("JAX_PLATFORMS"):
         pass
 
 from raisr_tpu.config import RaisrConfig, BlendingMode, RangeType, Backend, RaisrError
-from raisr_tpu.engine import RaisrEngine, Frame
+from raisr_tpu.engine import RaisrEngine
 
 
 def _add_common(p: argparse.ArgumentParser):
@@ -53,7 +53,12 @@ def _add_common(p: argparse.ArgumentParser):
                    choices=["float32", "bfloat16"],
                    help="compute precision tier: float32 matches the "
                         "reference's AVX2/AVX512 quality; bfloat16 is the "
-                        "AVX512-FP16 analogue (faster, ~fp16 quality)")
+                        "AVX512-FP16 analogue (faster; measured strictly "
+                        "closer to the reference f32 output than the "
+                        "reference's own FP16 tier — docs/PARITY.md). At "
+                        "10/16-bit it selects the exact-patch p_split "
+                        "packing (same quality class, ~2/3 the MXU work "
+                        "of the f32-grade tier)")
 
 
 def _cfg(args) -> RaisrConfig:
@@ -75,7 +80,7 @@ def cmd_upscale(args) -> int:
     from raisr_tpu import video
 
     cfg = _cfg(args)
-    engine = RaisrEngine(cfg)
+    engine = RaisrEngine(cfg, shard=getattr(args, "shard", None))
 
     in_ext = os.path.splitext(args.input)[1].lower()
     if in_ext in (".png", ".jpg", ".jpeg", ".bmp"):
@@ -189,8 +194,44 @@ def cmd_bench(args) -> int:
     import jax.numpy as jnp
 
     cfg = _cfg(args)
-    engine = RaisrEngine(cfg)
+    engine = RaisrEngine(cfg, shard=getattr(args, "shard", None))
     rng = np.random.default_rng(0)
+
+    if getattr(args, "latency", False):
+        # single-stream latency mode: one frame in flight, fenced per frame
+        # (worst case: H2D + both passes + D2H on the critical path), plus
+        # the depth-2 pipelined single-stream rate (async dispatch overlaps
+        # frame k's D2H/H2D with frame k+1's compute)
+        lr_np = rng.integers(16, 235, size=(args.height, args.width)).astype(np.float32)
+        salt = np.float32(time.time_ns() % 251)
+        np.asarray(engine.upscale_y(jnp.asarray(lr_np + salt)))  # compile
+        lat = []
+        for i in range(args.frames):
+            x = lr_np + salt + np.float32(i % 7)
+            t0 = time.perf_counter()
+            np.asarray(engine.upscale_y(jnp.asarray(x)))  # fenced D2H
+            lat.append(time.perf_counter() - t0)
+        lat_ms = sorted(lat)[len(lat) // 2] * 1000
+        # pipelined: keep 2 in flight, fence only the trailing frame
+        from raisr_tpu.stream import StreamProcessor
+        from raisr_tpu.engine import Frame as _Frame
+
+        frames = [
+            _Frame(y=(lr_np + salt + np.float32(i % 7)).astype(np.float32))
+            for i in range(args.frames)
+        ]
+        sp = StreamProcessor(engine, depth=2)
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in sp.process(iter(frames)))
+        piped = (time.perf_counter() - t0) / n_out
+        print(json.dumps({
+            "metric": f"{args.width}x{args.height} single-stream latency",
+            "fenced_ms_per_frame": round(lat_ms, 2),
+            "pipelined_ms_per_frame": round(piped * 1000, 2),
+            "pipelined_fps": round(1 / piped, 2),
+            "device": str(jax.devices()[0]),
+        }))
+        return 0
     lr = jnp.asarray(
         rng.integers(16, 235, size=(args.height, args.width)).astype(np.float32)
     )
@@ -266,7 +307,19 @@ def cmd_train(args) -> int:
             print(f"  accumulating frame {n} ({w}x{h})")
             yield lr, hr
 
-    bank = train_filterbank(pairs(), tcfg)
+    # hold out frames for the post-training quality eval (reference banks
+    # ship only provenance notes, filters_2x/filternotes.txt; a trained bank
+    # here ships with a measured quality story)
+    holdout = []
+
+    def train_pairs():
+        for i, (lr, hr) in enumerate(pairs()):
+            if args.eval_holdout and i % args.eval_holdout == args.eval_holdout - 1:
+                holdout.append((lr, hr))
+            else:
+                yield lr, hr
+
+    bank = train_filterbank(train_pairs(), tcfg)
     save_filter_folder(
         args.output, [bank], bits=args.bits,
         notes=f"trained by raisr_tpu from {len(args.inputs)} source(s); "
@@ -274,6 +327,38 @@ def cmd_train(args) -> int:
               f"augment_symmetry={args.augment}",
     )
     print(f"wrote filter bank to {args.output}")
+
+    if holdout:
+        from raisr_tpu.utils.metrics import psnr as psnr_fn
+
+        peak = float(hi)
+
+        def eval_bank(folder):
+            cfg = RaisrConfig(filterfolder=folder, bits=args.bits)
+            eng = RaisrEngine(cfg)
+            vals = []
+            for lr, hr in holdout:
+                up = np.asarray(eng.upscale_y(lr.astype(np.float32)))
+                vals.append(float(psnr_fn(up, hr.astype(np.float32), peak)))
+            return sum(vals) / len(vals)
+
+        report = {
+            "holdout_frames": len(holdout),
+            "trained_psnr_db": round(eval_bank(args.output), 3),
+        }
+        cheap_vals = []
+        for lr, hr in holdout:
+            from raisr_tpu.ops.resize import cheap_upscale
+            import jax.numpy as jnp
+
+            up = np.asarray(cheap_upscale(
+                jnp.asarray(lr.astype(np.float32)), *hr.shape, args.bits))
+            cheap_vals.append(float(psnr_fn(up, hr.astype(np.float32), peak)))
+        report["bilinear_psnr_db"] = round(sum(cheap_vals) / len(cheap_vals), 3)
+        if args.eval_against:
+            report["reference_bank_psnr_db"] = round(
+                eval_bank(args.eval_against), 3)
+        print(json.dumps({"eval": report}))
     return 0
 
 
@@ -291,6 +376,12 @@ def main(argv=None) -> int:
                       help="frames per device dispatch (device-resident "
                            "batched mode; output identical to --batch 1)")
     p_up.add_argument("--size", default=None, help="WxH for raw .yuv input")
+    p_up.add_argument("--shard", default=None,
+                      help="multi-chip spec: data=N[,rows=M]. data shards "
+                           "frames of each --batch over N chips (the "
+                           "reference's N-streams recipe as one dispatch); "
+                           "rows shards each frame's rows over M chips "
+                           "(single-stream latency; halo over ICI)")
     p_up.add_argument(
         "--format", default="420", choices=["420", "422", "444", "nv12", "mono"]
     )
@@ -312,6 +403,11 @@ def main(argv=None) -> int:
     p_bench.add_argument("--width", type=int, default=1920)
     p_bench.add_argument("--height", type=int, default=1080)
     p_bench.add_argument("--frames", type=int, default=20)
+    p_bench.add_argument("--shard", default=None,
+                         help="multi-chip spec: data=N[,rows=M]")
+    p_bench.add_argument("--latency", action="store_true",
+                         help="single-stream latency mode: fenced per-frame "
+                              "latency + depth-2 pipelined rate")
     _add_common(p_bench)
     p_bench.set_defaults(fn=cmd_bench)
 
@@ -330,6 +426,13 @@ def main(argv=None) -> int:
     p_tr.add_argument("--lam", type=float, default=0.01,
                       help="Tikhonov regularization")
     p_tr.add_argument("--chunk", type=int, default=2048)
+    p_tr.add_argument("--eval-holdout", type=int, default=8, metavar="N",
+                      help="hold out every Nth frame from training and "
+                           "report hold-out PSNR of the trained bank "
+                           "(0 disables)")
+    p_tr.add_argument("--eval-against", default=None, metavar="FOLDER",
+                      help="also report hold-out PSNR of this existing "
+                           "filter folder for comparison")
     p_tr.set_defaults(fn=cmd_train)
 
     args = parser.parse_args(argv)

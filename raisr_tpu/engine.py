@@ -11,7 +11,7 @@ ffmpeg/vf_raisr.c:286-302).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax
@@ -57,8 +57,42 @@ class Frame:
     v: Optional[np.ndarray] = None
 
 
+def parse_shard_spec(spec: Optional[str]) -> dict:
+    """Parse a "data=N[,rows=M]" shard spec (the `--shard` CLI knob).
+
+    data: frames sharded over chips (the reference's N-parallel-streams
+    throughput recipe, docs/performance.md:8, as one device-resident batch).
+    rows: each frame's rows sharded over chips (halo via ICI ppermute) —
+    single-stream latency. Multiplied together they use data*rows chips."""
+    out = {"data": 1, "rows": 1}
+    if not spec:
+        return out
+    for part in spec.split(","):
+        part = part.strip()
+        if "=" not in part:
+            raise RaisrError(f"[RAISR ERROR] bad --shard spec: {spec!r} "
+                             "(expected data=N[,rows=M])")
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in out:
+            raise RaisrError(f"[RAISR ERROR] unknown shard axis {k!r} "
+                             "(use data / rows)")
+        try:
+            out[k] = int(v)
+        except ValueError:
+            raise RaisrError(f"[RAISR ERROR] bad shard count {v!r} for {k}")
+        if out[k] < 1:
+            raise RaisrError(f"[RAISR ERROR] shard count must be >= 1: {part}")
+    return out
+
+
 class RaisrEngine:
-    def __init__(self, cfg: RaisrConfig, model: Optional[RaisrModel] = None):
+    def __init__(
+        self,
+        cfg: RaisrConfig,
+        model: Optional[RaisrModel] = None,
+        shard: Optional[str | dict] = None,
+    ):
         self.cfg = cfg
         self.model = model if model is not None else load_model(cfg.filterfolder, cfg)
         backend = _resolve_backend(cfg)
@@ -70,12 +104,47 @@ class RaisrEngine:
         self._qstr = tuple(jnp.asarray(b.qstr) for b in self.model.banks)
         self._qcoh = tuple(jnp.asarray(b.qcoh) for b in self.model.banks)
 
+        self._shard = (
+            shard if isinstance(shard, dict) else parse_shard_spec(shard)
+        )
+        self._mesh = None
+        n_chips = self._shard["data"] * self._shard["rows"]
+        if n_chips > 1:
+            if n_chips > len(jax.devices()):
+                raise RaisrError(
+                    f"[RAISR ERROR] shard spec {self._shard} needs {n_chips} "
+                    f"devices but only {len(jax.devices())} are visible."
+                )
+            mesh_devices = np.asarray(jax.devices()[:n_chips]).reshape(
+                self._shard["data"], self._shard["rows"]
+            )
+            from jax.sharding import Mesh
+
+            self._mesh = Mesh(mesh_devices, ("data", "rows"))
+
+    def _check_rows_shardable(self, h: int, out_h: int):
+        rows = self._shard["rows"]
+        if out_h % rows or h % rows or (out_h // rows) % 2:
+            raise RaisrError(
+                f"[RAISR ERROR] rows={rows} must divide the input height "
+                f"{h} and output height {out_h} with an even stripe height."
+            )
+
     # -- single-plane entry points (device arrays in/out, jit-cached) -------
 
     def upscale_y(self, y: jnp.ndarray) -> jnp.ndarray:
         """Process one luma plane; accepts/returns integer-valued arrays."""
         h, w = y.shape
         out_h, out_w = self.cfg.output_size(h, w)
+        if self._mesh is not None and self._shard["rows"] > 1:
+            from raisr_tpu.parallel.sharding import process_plane_row_sharded
+
+            self._check_rows_shardable(h, out_h)
+            return process_plane_row_sharded(
+                y, self._filters, self._qstr, self._qcoh, self._statics,
+                self.cfg.passes, self.cfg.two_pass_mode, out_h, out_w,
+                self._mesh, "rows",
+            )
         return process_plane_y(
             y,
             self._filters,
@@ -115,9 +184,37 @@ class RaisrEngine:
         Device-resident production path: the batch rides ONE kernel dispatch
         as a guard-banded vertical stack with per-frame zone masks — output
         is exactly N x upscale_y (tests/test_stream.py), at stacked-frame
-        throughput rather than per-frame dispatch cost."""
+        throughput rather than per-frame dispatch cost.
+
+        With a shard spec (engine shard= / CLI --shard), the batch is
+        distributed over the device mesh: frames over the data axis (each
+        device runs the guard-banded stack on its local frames) and/or rows
+        over the rows axis (halo exchanged over ICI)."""
         n, h, w = batch_y.shape
         out_h, out_w = self.cfg.output_size(h, w)
+        if self._mesh is not None:
+            d = self._shard["data"]
+            if n % d:
+                raise RaisrError(
+                    f"[RAISR ERROR] batch size {n} must be divisible by "
+                    f"the data shard count {d}."
+                )
+            if self._shard["rows"] > 1:
+                from raisr_tpu.parallel.sharding import process_batch_2d
+
+                self._check_rows_shardable(h, out_h)
+                return process_batch_2d(
+                    batch_y, self._filters, self._qstr, self._qcoh,
+                    self._statics, self.cfg.passes, self.cfg.two_pass_mode,
+                    out_h, out_w, self._mesh, "data", "rows",
+                )
+            from raisr_tpu.parallel.sharding import process_batch_dp
+
+            return process_batch_dp(
+                batch_y, self._filters, self._qstr, self._qcoh,
+                self._statics, self.cfg.passes, self.cfg.two_pass_mode,
+                out_h, out_w, self._mesh, "data",
+            )
         return process_plane_y_batch(
             batch_y,
             self._filters,

@@ -58,6 +58,11 @@ class PassStatics:
     # per-pass (qstr, qcoh) bin edges as python floats: the fully-fused
     # pallas kernel bakes them as compile-time constants
     bank_edges: tuple = ()
+    # run pallas kernels in interpret mode (CPU-mesh tests of sharded paths)
+    backend_interpret: bool = False
+    # >8-bit fast tier: [F',F'] x [Phi,Plo] (error-diffused F', exact P) —
+    # mxu2 cost with bf16-tier quality semantics (full_kernel.py p_split)
+    p_split: bool = False
 
     @property
     def patch_margin(self) -> int:
@@ -66,6 +71,10 @@ class PassStatics:
     @property
     def loop_margin(self) -> int:
         return (self.patch_size >> 1) + 1
+
+
+def _pad_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def processed_col_end(width: int, loop_margin: int, exact_edges: bool) -> int:
@@ -139,9 +148,16 @@ def raisr_pass(
             # tools/kbench_full.py round-2 sweeps). mxu_passes=3 kernels
             # unroll 50% more work per band: Mosaic compile time explodes
             # at tb2=48, so 10/16-bit stays at tb2=32 (12.5 ms/pass).
-            tb2=(48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
+            # Clamped by plane height so short planes (test images, short
+            # stripes) don't process padding-only band rows.
+            tb2=min(
+                (48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
+                _pad_up(-(-h // 2), 8),
+            ),
             frame_h=frame_h,
             frame_pad=frame_pad,
+            interpret=s.backend_interpret,
+            p_split=s.p_split,
         )
 
     if (
@@ -166,14 +182,17 @@ def raisr_pass(
             qstrength=s.qstrength,
             qcoherence=s.qcoherence,
             patch_size=s.patch_size,
-            mxu_passes=s.mxu_passes,
+            # the single-phase kernel has no p_split variant; >8-bit fast
+            # tier requests fall back to the f32-grade 3-slot packing
+            mxu_passes=3 if s.p_split else s.mxu_passes,
             min_val=s.min_val,
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            tb2=16 if w <= 4608 else 8,
+            tb2=min(16 if w <= 4608 else 8, _pad_up(-(-h // 2), 4)),
             frame_h=frame_h,
             frame_pad=frame_pad,
+            interpret=s.backend_interpret,
         )
 
     gx, gy = hashing.gradients(cheap)
@@ -264,8 +283,13 @@ def _finish_pass(cheap: jnp.ndarray, raw: jnp.ndarray, s: PassStatics) -> jnp.nd
 
 
 def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStatics:
+    p_split = False
     if cfg.dtype == "bfloat16":
-        mxu_passes = 1  # fp16-class path (reference AVX512FP16 analogue)
+        # fp16-class fast tier (reference AVX512FP16 analogue): one matmul
+        # slot at 8-bit (patches exact in bf16); two slots [Phi, Plo] at
+        # 10/16-bit so patches stay exact (p_split)
+        mxu_passes = 1 if cfg.bits == 8 else 2
+        p_split = cfg.bits > 8
     else:
         mxu_passes = 2 if cfg.bits == 8 else 3
     bank_edges = tuple(
@@ -288,6 +312,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         backend=backend,
         mxu_passes=mxu_passes,
         bank_edges=bank_edges,
+        p_split=p_split,
     )
 
 

@@ -13,26 +13,33 @@ The TPU-native equivalents:
                        once per pass; the inter-pass barrier is XLA dataflow
                        instead of spin-waiting on threadStatus.
 
-Both paths produce bit-identical output to the single-device pipeline (tests
-enforce this) because the halo fully covers the resize + patch + census
-support and all zone masks use global row coordinates.
+Row stripes run the SAME whole-pass fused kernel as full frames (its
+row0/zone_h inputs shift every zone mask to global coordinates), so per-chip
+throughput under sharding is the single-chip kernel's — matching the
+reference's segments running the same hot loop as whole frames
+(Raisr.cpp:1369-1382).
+
+Exactness: the DP path and ratio-2 row stripes are bit-identical to the
+single-device pipeline (tests enforce this) — the halo fully covers the
+resize + patch + census support and all zone masks use global coordinates.
+Non-2x (e.g. 1.5x) row stripes are bit-identical through the RAISR pass,
+but the striped cheap upscale may flip rare exact-.5 rounding ties by 1 LSB
+(<0.2% of pixels; tests/test_sharding.py::test_row_sharded_15x) because the
+sharded and whole-plane resizes compile to differently-fused f32 FMA chains.
 """
 
 from __future__ import annotations
-
-import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+from jax.sharding import Mesh, PartitionSpec as P
 
 from raisr_tpu.config import CT_MARGIN
 from raisr_tpu.ops.pipeline import PassStatics, raisr_pass, processed_col_end
 from raisr_tpu.ops import hashing, census
 from raisr_tpu.ops.filter_apply import apply_filters_taps, apply_filters_conv
-from raisr_tpu.ops.resize import cheap_upscale
 from raisr_tpu.model.gaussian import gaussian_weights
 
 # Halo (in HR rows) a device needs beyond its output stripe: patch/gradient
@@ -191,16 +198,70 @@ def _raisr_pass_stripe(
     core_rows: int,
     total_h: int,
     axis: str,
+    pass_idx: int = 0,
 ) -> jnp.ndarray:
     """One RAISR pass on an HR stripe with halo; returns the core rows.
 
     Identical math to ops.pipeline.raisr_pass but all zone masks are built
-    from global row coordinates."""
+    from global row coordinates. On the pallas backend the stripe runs the
+    SAME whole-pass fused kernel as a full frame (row0/zone_h global zone
+    coordinates) — matching the reference's segments running the same hot
+    loop as whole frames (Raisr.cpp:1369-1382); per-chip throughput under
+    sharding is therefore the single-chip kernel's."""
     s = statics
     lm = s.loop_margin
     h_ext, w = cheap_ext.shape
     idx = lax.axis_index(axis)
     g_start = idx * core_rows - hr_halo  # global row of cheap_ext[0]
+
+    if s.backend == "pallas" and s.bank_edges and (
+        s.use_pixel_type or s.pixel_types == 1
+    ):
+        from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+        from raisr_tpu.ops.pallas.full_kernel import (
+            raisr_pass_pallas_full,
+            raisr_pass_pallas_full_single,
+        )
+
+        edges = s.bank_edges[pass_idx]
+        kw = dict(
+            k1d=tuple(float(v) for v in gaussian_kernel_1d(s.patch_size)),
+            nf=normalization_factor(s.bits),
+            qstr=edges[0],
+            qcoh=edges[1],
+            qangle=s.qangle,
+            qstrength=s.qstrength,
+            qcoherence=s.qcoherence,
+            patch_size=s.patch_size,
+            mxu_passes=s.mxu_passes,
+            min_val=s.min_val,
+            max_val=s.max_val,
+            blending=int(s.blending),
+            exact_edges=s.exact_edges,
+            interpret=s.backend_interpret,
+            row0=g_start,
+            zone_h=total_h,
+        )
+        from raisr_tpu.ops.pallas.filter_kernel import _pad_to
+
+        if s.use_pixel_type:
+            # stripe row 0 has even global parity (core_rows and hr_halo are
+            # even), so the kernel's local row phases equal global phases.
+            # tb2 as for a full frame, clamped so short stripes don't
+            # process padding-only bands.
+            tb2 = (48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32
+            tb2 = min(tb2, _pad_to(-(-h_ext // 2), 8))
+            out = raisr_pass_pallas_full(
+                cheap_ext, filters, patch_margin=s.patch_margin, tb2=tb2,
+                p_split=s.p_split, **kw
+            )
+        else:
+            tb2 = min(16 if w <= 4608 else 8, _pad_to(-(-h_ext // 2), 4))
+            kw["mxu_passes"] = 3 if s.p_split else s.mxu_passes
+            out = raisr_pass_pallas_full_single(
+                cheap_ext, filters, tb2=tb2, **kw
+            )
+        return out[hr_halo : hr_halo + core_rows]
 
     weights = gaussian_weights(s.patch_size, s.bits)
     gx, gy = hashing.gradients(cheap_ext)
@@ -301,6 +362,7 @@ def make_stripe_fn(
                 hr_stripe if p + 1 >= two_pass_mode else lr_stripe,
                 out_h if p + 1 >= two_pass_mode else lr_h,
                 axis,
+                pass_idx=p,
             )
         return x
 
@@ -336,6 +398,7 @@ def process_plane_row_sharded(
         mesh=mesh,
         in_specs=(P(axis, None),) + _bank_specs(passes),
         out_specs=P(axis, None),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(fn)(lr, *filters, *qstr, *qcoh)
 
@@ -370,5 +433,6 @@ def process_batch_2d(
         mesh=mesh,
         in_specs=(P(data_axis, rows_axis, None),) + _bank_specs(passes),
         out_specs=P(data_axis, rows_axis, None),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     return jax.jit(fn)(batch_lr, *filters, *qstr, *qcoh)

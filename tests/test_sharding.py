@@ -98,6 +98,123 @@ def test_row_sharded_two_pass_mode2_denoise():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
 
 
+def test_engine_shard_spec_parsing():
+    from raisr_tpu.config import RaisrError
+    from raisr_tpu.engine import parse_shard_spec
+
+    assert parse_shard_spec(None) == {"data": 1, "rows": 1}
+    assert parse_shard_spec("data=4") == {"data": 4, "rows": 1}
+    assert parse_shard_spec("data=2,rows=2") == {"data": 2, "rows": 2}
+    assert parse_shard_spec(" rows=8 ") == {"data": 1, "rows": 8}
+    for bad in ("data", "cols=2", "data=x", "data=0"):
+        with pytest.raises(RaisrError):
+            parse_shard_spec(bad)
+
+
+def test_engine_shard_data_matches_unsharded():
+    """The user-facing multi-chip path (engine shard= / CLI --shard): a
+    data-sharded batch must equal the unsharded batched output."""
+    from raisr_tpu.engine import RaisrEngine
+
+    cfg = RaisrConfig(filterfolder=FOLDER, passes=1, backend="reference")
+    base = RaisrEngine(cfg)
+    sharded = RaisrEngine(cfg, shard="data=4")
+    batch = jnp.stack([_image(20, 28, seed=i) for i in range(8)])
+    np.testing.assert_array_equal(
+        np.asarray(sharded.process_batch_y(batch)),
+        np.asarray(base.process_batch_y(batch)),
+    )
+
+
+def test_engine_shard_rows_matches_unsharded():
+    from raisr_tpu.engine import RaisrEngine
+
+    cfg = RaisrConfig(filterfolder=FOLDER, passes=1, backend="reference")
+    base = RaisrEngine(cfg)
+    sharded = RaisrEngine(cfg, shard="data=2,rows=2")
+    batch = jnp.stack([_image(24, 28, seed=i) for i in range(4)])
+    np.testing.assert_array_equal(
+        np.asarray(sharded.process_batch_y(batch)),
+        np.asarray(base.process_batch_y(batch)),
+    )
+    single = RaisrEngine(cfg, shard="rows=4")
+    np.testing.assert_array_equal(
+        np.asarray(single.upscale_y(batch[0])),
+        np.asarray(base.upscale_y(batch[0])),
+    )
+
+
+def test_engine_shard_errors():
+    from raisr_tpu.config import RaisrError
+    from raisr_tpu.engine import RaisrEngine
+
+    cfg = RaisrConfig(filterfolder=FOLDER, passes=1, backend="reference")
+    with pytest.raises(RaisrError, match="devices"):
+        RaisrEngine(cfg, shard="data=64")
+    eng = RaisrEngine(cfg, shard="data=4")
+    with pytest.raises(RaisrError, match="divisible"):
+        eng.process_batch_y(jnp.stack([_image(20, 28, seed=i) for i in range(6)]))
+    eng2 = RaisrEngine(cfg, shard="rows=4")
+    with pytest.raises(RaisrError, match="stripe"):
+        eng2.upscale_y(_image(30, 28))  # 30/4 not integral
+
+
+@pytest.mark.parametrize("blending", [1, 2])
+def test_row_sharded_pallas_fused_matches_single(blending):
+    """Row stripes must run the SAME whole-pass fused kernel as a full frame
+    (VERDICT r2 #2): with global row0/zone_h zone masks the sharded pallas
+    path is bit-identical to the single-device pallas path (interpret mode
+    on the CPU mesh; real-Mosaic covered by tools/tpu_check.py)."""
+    import dataclasses
+
+    cfg, statics, filters, qstr, qcoh = _setup(
+        blending=blending, backend="pallas"
+    )
+    statics = dataclasses.replace(statics, backend_interpret=True)
+    mesh = make_mesh(4, ("rows",))
+    lr = _image(24, 32)
+    out = process_plane_row_sharded(
+        lr, filters, qstr, qcoh, statics, 1, 1, 48, 64, mesh, "rows"
+    )
+    single = process_plane_y(lr, filters, qstr, qcoh, statics, 1, 1, 48, 64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+
+
+def test_row_sharded_pallas_fused_two_pass():
+    import dataclasses
+
+    cfg, statics, filters, qstr, qcoh = _setup(passes=2, backend="pallas")
+    statics = dataclasses.replace(statics, backend_interpret=True)
+    mesh = make_mesh(4, ("rows",))
+    lr = _image(24, 32, seed=4)
+    out = process_plane_row_sharded(
+        lr, filters, qstr, qcoh, statics, 2, 1, 48, 64, mesh, "rows"
+    )
+    single = process_plane_y(lr, filters, qstr, qcoh, statics, 2, 1, 48, 64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+
+
+def test_row_sharded_pallas_fused_15x():
+    """Single-phase (1.5x) whole-pass kernel under row sharding. The RAISR
+    pass itself is bit-identical (same kernel, global zones); the cheap
+    upscale may flip exact .5 rounding ties (see test_row_sharded_15x)."""
+    import dataclasses
+
+    folder = "/root/reference/filters_1.5x/filters_highres"
+    cfg, statics, filters, qstr, qcoh = _setup(
+        folder=folder, ratio=1.5, backend="pallas"
+    )
+    statics = dataclasses.replace(statics, backend_interpret=True)
+    mesh = make_mesh(4, ("rows",))
+    lr = _image(32, 32, seed=9)  # 32*1.5=48, 48/4=12 rows/stripe
+    out = process_plane_row_sharded(
+        lr, filters, qstr, qcoh, statics, 1, 1, 48, 48, mesh, "rows"
+    )
+    single = process_plane_y(lr, filters, qstr, qcoh, statics, 1, 1, 48, 48)
+    diff = np.abs(np.asarray(out) - np.asarray(single))
+    assert (diff > 0).mean() < 0.002 and diff.max() <= 1
+
+
 def test_row_sharded_15x():
     folder = "/root/reference/filters_1.5x/filters_highres"
     cfg, statics, filters, qstr, qcoh = _setup(folder=folder, ratio=1.5)

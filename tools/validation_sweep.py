@@ -24,6 +24,15 @@ import tempfile
 
 import numpy as np
 
+# The --shard rows on CPU need a virtual multi-device mesh; set the XLA
+# flag BEFORE jax initializes its backend (no-op for real TPU runs).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu") and \
+        "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from raisr_tpu import video
@@ -45,7 +54,9 @@ POSITIVE = [
     (f"{REF}/filters_1.5x/filters_denoise", 1.5, 8, 2, 2, 1),
 ]
 
-# round-2 knobs: batched device-resident mode and the bf16 precision tier
+# round-2 knobs: batched device-resident mode and the bf16 precision tier;
+# round-3: multi-chip --shard (runs on the virtual CPU mesh under the
+# sweep's JAX_PLATFORMS=cpu + xla_force_host_platform_device_count env)
 POSITIVE_EXTRA = [
     # (folder, ratio, bits, passes, mode, blending, extra_args)
     (f"{REF}/filters_2x/filters_highres", 2.0, 8, 2, 1, 2,
@@ -54,6 +65,10 @@ POSITIVE_EXTRA = [
      ["--dtype", "bfloat16"]),
     (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 2, 1, 2,
      ["--batch", "3", "--dtype", "bfloat16"]),
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 1, 1, 2,
+     ["--batch", "4", "--shard", "data=2"]),
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 1, 1, 2,
+     ["--batch", "2", "--shard", "data=2,rows=2"]),
 ]
 
 NEGATIVE_ARGS = [
@@ -111,7 +126,13 @@ def main():
     positive = [p + ([],) for p in (POSITIVE[:3] if args.quick else POSITIVE)]
     if not args.quick:
         positive += POSITIVE_EXTRA
+    import jax
+
+    n_dev = len(jax.devices())
     for folder, ratio, bits, passes, mode, blending, extra in positive:
+        if "--shard" in extra and n_dev < 4:
+            print(f"SKIP (needs >=4 devices): {' '.join(extra)}")
+            continue
         clip = os.path.join(work, f"in_{bits}.y4m")
         if not os.path.exists(clip):
             _make_clip(clip, bits=bits)
