@@ -31,7 +31,14 @@
 #include "libavutil/opt.h"
 #include "libavutil/pixdesc.h"
 #include "avfilter.h"
+#include "formats.h"
+/* n6.x keeps ff_filter_frame / FILTER_* macros in internal.h; from 7.1 they
+ * moved to filters.h. Support both trees. */
+#if __has_include("internal.h")
+#include "internal.h"
+#else
 #include "filters.h"
+#endif
 #include "video.h"
 
 #include "raisr_tpu.h"

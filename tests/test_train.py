@@ -163,3 +163,48 @@ class TestBatchedEngine:
             [np.asarray(eng.upscale_y(batch[i])) for i in range(3)]
         )
         np.testing.assert_array_equal(out, ref)
+
+
+class TestTrainEvalCLI:
+    def test_train_cli_reports_holdout_eval(self, tmp_path, capsys):
+        """`raisr train` must print a hold-out quality report: trained-bank
+        PSNR, bilinear baseline, and (--eval-against) a comparison bank.
+        The trained bank must beat bilinear and land within 3 dB of the
+        shipped reference bank on this easy synthetic content."""
+        import json
+        import os
+
+        from raisr_tpu import video
+        from raisr_tpu.cli import main
+        from raisr_tpu.engine import Frame
+
+        rng = np.random.default_rng(5)
+        src = os.path.join(str(tmp_path), "hr.y4m")
+        w, h, n = 64, 48, 10
+        wr = video.Y4MWriter(src, video.VideoFormat(w, h, 8, "420"))
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        for i in range(n):
+            img = (
+                110 + 70 * np.sin((x + 3 * i) / 7.0) + 50 * (y > h // 2)
+                + rng.normal(0, 5, (h, w))
+            )
+            yp = np.clip(img, 16, 235).astype(np.uint8)
+            u = np.full((h // 2, w // 2), 128, np.uint8)
+            wr.write(Frame(y=yp, u=u, v=u))
+        wr.close()
+
+        out_folder = os.path.join(str(tmp_path), "bank")
+        ref_folder = "/root/reference/filters_2x/filters_lowres"
+        args = ["train", "-o", out_folder, "-i", src, "--eval-holdout", "5"]
+        if os.path.isdir(ref_folder):
+            args += ["--eval-against", ref_folder]
+        rc = main(args)
+        assert rc == 0
+        out = capsys.readouterr().out
+        eval_line = [l for l in out.splitlines() if '"eval"' in l]
+        assert eval_line, out
+        report = json.loads(eval_line[-1])["eval"]
+        assert report["holdout_frames"] == 2
+        assert report["trained_psnr_db"] > report["bilinear_psnr_db"], report
+        if os.path.isdir(ref_folder):
+            assert report["trained_psnr_db"] >= report["reference_bank_psnr_db"] - 3.0, report

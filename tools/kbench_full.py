@@ -7,11 +7,21 @@ docs/PERFORMANCE.md). Prints ms per single-frame pass.
 Usage: python tools/kbench_full.py [tb2] [rowbatch] [mxu_passes]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
+
+# persistent compile cache (compiles through the tunnel run 10-25 min cold)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 
 from raisr_tpu.config import RaisrConfig
