@@ -178,3 +178,47 @@ class TestEngine:
         out_f = RaisrEngine(cfg_f).process(Frame(y=y)).y
         # identical except near the ragged right edge
         assert np.array_equal(out_e[:, :48], out_f[:, :48])
+
+
+def test_device_resident_composition():
+    """The zero-copy analogue of the reference's OpenCL hw-frames path
+    (vf_raisr_opencl consumes/produces device-side frames without host
+    round-trips): engine.upscale_y / process_batch_y accept and return
+    device arrays, so decode->upscale->postprocess chains stay on device.
+    Verify no host materialization is required between stages and that a
+    composed jit consumes the output directly."""
+    import jax
+    import jax.numpy as jnp
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import RaisrEngine
+
+    cfg = RaisrConfig(
+        filterfolder="/root/reference/filters_2x/filters_lowres",
+        backend="reference",
+    )
+    eng = RaisrEngine(cfg)
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(rng.integers(16, 235, (20, 28)).astype(np.float32))
+    up = eng.upscale_y(y)
+    assert isinstance(up, jax.Array)
+
+    # compose a downstream device-side stage without leaving the device
+    post = jax.jit(lambda a: jnp.clip(a * 0.5 + 10.0, 0, 255))(up)
+    assert isinstance(post, jax.Array)
+    np.testing.assert_allclose(
+        np.asarray(post), np.clip(np.asarray(up) * 0.5 + 10.0, 0, 255)
+    )
+
+    # and the whole chain can live under ONE jit (no intermediate dispatch)
+    from raisr_tpu.ops.pipeline import process_plane_y
+
+    def chain(lr):
+        o = process_plane_y(
+            lr, eng._filters, eng._qstr, eng._qcoh, eng._statics,
+            cfg.passes, cfg.two_pass_mode, 40, 56,
+        )
+        return jnp.mean(o)
+
+    val = jax.jit(chain)(y)
+    assert np.isfinite(float(val))
