@@ -93,6 +93,7 @@ def _full_kernel(
     frame_pad: int,
     zone_h: int,
     p_split: bool,
+    ftrans: bool,
 ):
     from raisr_tpu.ops.hashing import atan2_approx
 
@@ -249,7 +250,9 @@ def _full_kernel(
     n = rowbatch * w2p
     n_blocks = patch_size + 1
     rows_blk = patch_size + 1  # 11 taps + 1 row of r0-phase slack
-    dims = (((1,), (0,)), ((), ()))
+    # ftrans: F operand stored K-major ([K, M] with dims ((0,),(0,))) —
+    # experiment for MXU feed efficiency (NOTES r2 lever 1b)
+    dims = (((0,), (0,)), ((), ())) if ftrans else (((1,), (0,)), ((), ()))
 
     if mpack:
         # dense layout: blocks of 12 rows back-to-back (no zero tap-pad
@@ -511,7 +514,7 @@ def _full_kernel(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "mpack",
-        "interpret", "frame_h", "frame_pad", "zone_h", "p_split",
+        "interpret", "frame_h", "frame_pad", "zone_h", "p_split", "ftrans",
     ),
 )
 def raisr_pass_pallas_full(
@@ -541,6 +544,7 @@ def raisr_pass_pallas_full(
     row0: jnp.ndarray | None = None,  # traced scalar: global row of row 0
     zone_h: int = 0,  # >0: global frame height for zone tests (stripes)
     p_split: bool = False,  # fast tier for >8-bit: [F',F'] x [Phi,Plo]
+    ftrans: bool = False,  # K-major filter operand (mpack path only)
 ) -> jnp.ndarray:
     """One complete RAISR pass (ratio 2), fused end to end.
 
@@ -616,12 +620,15 @@ def raisr_pass_pallas_full(
         f_phase.append(jnp.concatenate(parts, axis=1))
     if mpack:
         f_phase = [jnp.concatenate(f_phase, axis=0)]  # [4 * NB, mxu * 144]
+        if ftrans:
+            f_phase = [f_phase[0].T]  # [mxu * 144, 4 * NB] K-major
 
     plane_spec = pl.BlockSpec(
         (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (4 * NB if mpack else NB, mxu_passes * k_dim),
+        (mxu_passes * k_dim, 4 * NB) if (mpack and ftrans)
+        else (4 * NB if mpack else NB, mxu_passes * k_dim),
         lambda i: (0, 0), memory_space=pltpu.VMEM,
     )
     out_spec = pl.BlockSpec(
@@ -630,6 +637,8 @@ def raisr_pass_pallas_full(
 
     if cchunk > 0 and (cchunk % 128 or w2p % cchunk):
         raise ValueError("cchunk must be lane-aligned and divide w2p")
+    if ftrans and not mpack:
+        raise ValueError("ftrans requires the mpack layout")
 
     kernel = functools.partial(
         _full_kernel,
@@ -659,6 +668,7 @@ def raisr_pass_pallas_full(
         frame_pad=frame_pad,
         zone_h=zone_h,
         p_split=p_split,
+        ftrans=ftrans,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
     n_stage = 4 if (mxu_passes >= 3 or p_split) else 2

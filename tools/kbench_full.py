@@ -34,7 +34,8 @@ TB2 = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ROWBATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 MXU = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 CCHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-PSPLIT = len(sys.argv) > 5 and sys.argv[5] == "psplit"
+PSPLIT = "psplit" in sys.argv[5:]
+FTRANS = "ftrans" in sys.argv[5:]
 
 N_SMALL, N_BIG = 4, 12  # per-frame time = slope between the two batch sizes
 H, W = 2160, 3840  # one 4K cheap plane per frame
@@ -55,7 +56,7 @@ def fn(cheap):
     return raisr_pass_pallas_full(
         cheap, filters, k1d, nf, qstr, qcoh,
         mxu_passes=MXU, tb2=TB2, rowbatch=ROWBATCH, cchunk=CCHUNK,
-        p_split=PSPLIT,
+        p_split=PSPLIT, ftrans=FTRANS,
     )
 
 
@@ -88,7 +89,7 @@ t_big = measure(N_BIG)
 per_frame = (t_big - t_small) / (N_BIG - N_SMALL)
 print(
     f"tb2={TB2} rowbatch={ROWBATCH} mxu={MXU} cchunk={CCHUNK}"
-    f"{' psplit' if PSPLIT else ''}: "
+    f"{' psplit' if PSPLIT else ''}{' ftrans' if FTRANS else ''}: "
     f"{1000 * per_frame:.3f} ms/pass-frame (slope {N_SMALL}->{N_BIG}; "
     f"raw {1000 * t_small:.1f} / {1000 * t_big:.1f} ms)"
 )
