@@ -150,8 +150,12 @@ def raisr_pass(
             # at tb2=48, so 10/16-bit stays at tb2=32 (12.5 ms/pass).
             # Clamped by plane height so short planes (test images, short
             # stripes) don't process padding-only band rows.
+            # p_split carries the two extra lo staging buffers: tb2=48
+            # exceeds the 128 MB VMEM (measured 136.9M); cap at 40.
             tb2=min(
-                (48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
+                (
+                    (40 if s.p_split else 48) if s.mxu_passes < 3 else 32
+                ) if w <= 4608 else 32,
                 _pad_up(-(-h // 2), 8),
             ),
             frame_h=frame_h,
