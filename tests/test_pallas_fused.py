@@ -185,6 +185,11 @@ def test_bf16_tier_config_wiring():
     cfg10f = RaisrConfig(filterfolder=folder, bits=10, dtype="bfloat16")
     s10f = pass_statics(cfg10f, model, "pallas")
     assert s10f.mxu_passes == 2 and s10f.p_split
+    # 16-bit: lo = x - bf16(x) is an integer of magnitude <= 128 — exact in
+    # bf16, so the p_split exact-patch argument holds there too
+    cfg16f = RaisrConfig(filterfolder=folder, bits=16, dtype="bfloat16")
+    s16f = pass_statics(cfg16f, model, "pallas")
+    assert s16f.mxu_passes == 2 and s16f.p_split
 
 
 @pytest.mark.skipif(
