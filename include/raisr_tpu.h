@@ -33,6 +33,16 @@ typedef enum {
   RTPU_RANGE_FULL = 1,
 } RTPURangeType;
 
+/* Precision tier — the analogue of the reference ABI's ASMType parameter
+ * (RNLHandler_Init asmType; its FFmpeg filter defaults to avx512fp16).
+ * F32 matches the reference's AVX2/AVX512 quality; BF16 is the AVX512FP16
+ * analogue, measured strictly closer to the reference's f32 output than
+ * the reference's own FP16 tier (docs/PARITY.md). */
+typedef enum {
+  RTPU_TIER_F32 = 0,
+  RTPU_TIER_BF16 = 1,
+} RTPUTier;
+
 /* One plane of 8-bit (uint8) or 10/16-bit (uint16 LE) samples. */
 typedef struct {
   uint8_t* data;
@@ -49,6 +59,12 @@ typedef struct {
 RTPUStatus RTPU_Init(const char* model_path, float ratio,
                      unsigned int bit_depth, RTPURangeType range,
                      unsigned int passes, unsigned int two_pass_mode);
+
+/* RTPU_Init with an explicit precision tier (RTPU_Init uses RTPU_TIER_F32). */
+RTPUStatus RTPU_InitEx(const char* model_path, float ratio,
+                       unsigned int bit_depth, RTPURangeType range,
+                       unsigned int passes, unsigned int two_pass_mode,
+                       RTPUTier tier);
 
 /* Fix frame geometry (mirrors RNLHandler_SetRes; triggers compilation). */
 RTPUStatus RTPU_SetRes(const RTPUPlane* in_y, const RTPUPlane* in_cb,

@@ -103,18 +103,27 @@ RTPUStatus call_int(PyObject* result) {
 
 extern "C" {
 
-RTPUStatus RTPU_Init(const char* model_path, float ratio,
-                     unsigned int bit_depth, RTPURangeType range,
-                     unsigned int passes, unsigned int two_pass_mode) {
+RTPUStatus RTPU_InitEx(const char* model_path, float ratio,
+                       unsigned int bit_depth, RTPURangeType range,
+                       unsigned int passes, unsigned int two_pass_mode,
+                       RTPUTier tier) {
   std::lock_guard<std::mutex> lock(g_mutex);
   if (!ensure_python()) return RTPU_ERROR_UNDEFINED;
   PyGILState_STATE gil = PyGILState_Ensure();
-  PyObject* r = PyObject_CallMethod(g_bridge, "init", "sfiiii", model_path,
+  PyObject* r = PyObject_CallMethod(g_bridge, "init", "sfiiiii", model_path,
                                     (double)ratio, (int)bit_depth, (int)range,
-                                    (int)passes, (int)two_pass_mode);
+                                    (int)passes, (int)two_pass_mode,
+                                    (int)tier);
   RTPUStatus status = call_int(r);
   PyGILState_Release(gil);
   return status;
+}
+
+RTPUStatus RTPU_Init(const char* model_path, float ratio,
+                     unsigned int bit_depth, RTPURangeType range,
+                     unsigned int passes, unsigned int two_pass_mode) {
+  return RTPU_InitEx(model_path, ratio, bit_depth, range, passes,
+                     two_pass_mode, RTPU_TIER_F32);
 }
 
 RTPUStatus RTPU_SetRes(const RTPUPlane*, const RTPUPlane*, const RTPUPlane*,

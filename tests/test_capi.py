@@ -102,3 +102,21 @@ def test_capi_y4m_bit_identical_to_cli(tmp_path):
     )
     assert r.returncode == 0, r.stderr.decode()[-500:]
     assert open(out_c, "rb").read() == open(out_cli, "rb").read()
+
+
+def test_bridge_tier_selects_fast_tier():
+    """RTPU_InitEx's tier parameter (the analogue of the reference ABI's
+    asmType) must select the bf16 fast tier in the bridge engine."""
+    from raisr_tpu import capi_bridge as cb
+
+    rc = cb.init("/root/reference/filters_2x/filters_lowres",
+                 2.0, 8, 0, 1, 1, tier=1)
+    assert rc == 0
+    assert cb._cfg.dtype == "bfloat16"
+    assert cb._engine._statics.mxu_passes == 1
+    cb.deinit()
+    rc = cb.init("/root/reference/filters_2x/filters_lowres",
+                 2.0, 8, 0, 1, 1)
+    assert rc == 0
+    assert cb._cfg.dtype == "float32"
+    cb.deinit()
