@@ -7,8 +7,18 @@ Prints ms/frame and fps for 1080p->4K on engine.process_batch_y.
 import sys
 import time
 
+import os
+
 import numpy as np
 import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 
 from raisr_tpu.config import RaisrConfig
@@ -64,6 +74,9 @@ bench("8-bit  f32-grade 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 bench("8-bit  bf16-tier 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
+                  dtype="bfloat16"))
+bench("10-bit fast-tier 2-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas", bits=10,
                   dtype="bfloat16"))
 bench("10-bit f32-grade 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas", bits=10))
