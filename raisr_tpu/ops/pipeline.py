@@ -142,20 +142,18 @@ def raisr_pass(
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            # band height: 48 measured fastest at 4K with the grouped
-            # mpack matmul (gt stays small, so bigger bands just cut the
-            # halo fraction: 9.4 ms/pass at tb2=48 vs 10.7 at 16 —
-            # tools/kbench_full.py round-2 sweeps). mxu_passes=3 kernels
-            # unroll 50% more work per band: Mosaic compile time explodes
-            # at tb2=48, so 10/16-bit stays at tb2=32 (12.5 ms/pass).
-            # Clamped by plane height so short planes (test images, short
-            # stripes) don't process padding-only band rows.
-            # p_split carries the two extra lo staging buffers: tb2=48
-            # exceeds the 128 MB VMEM (measured 136.9M); cap at 40.
+            # band height: 40 measured fastest at 4K for the 2-slot kernels
+            # in the round-3 same-day sweep (mxu2: 9.85 ms/pass at tb2=40 vs
+            # 10.06 at 48 vs 10.7 at 16; mxu1: 7.40 vs 7.61; p_split: 9.20
+            # at 40 vs 10.58 at 32 — tools/kbench_full.py). p_split at
+            # tb2=48 additionally exceeds the 128 MB VMEM (136.9M measured).
+            # mxu_passes=3 kernels unroll 50% more work per band: Mosaic
+            # compile time explodes at tb2=48, so 10/16-bit f32-grade stays
+            # at tb2=32 (12.4 ms/pass). Clamped by plane height so short
+            # planes (test images, short stripes) don't process
+            # padding-only band rows.
             tb2=min(
-                (
-                    (40 if s.p_split else 48) if s.mxu_passes < 3 else 32
-                ) if w <= 4608 else 32,
+                (40 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
                 _pad_up(-(-h // 2), 8),
             ),
             frame_h=frame_h,

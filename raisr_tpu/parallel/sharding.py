@@ -249,7 +249,7 @@ def _raisr_pass_stripe(
             # even), so the kernel's local row phases equal global phases.
             # tb2 as for a full frame, clamped so short stripes don't
             # process padding-only bands.
-            tb2 = (48 if s.mxu_passes < 3 else 32) if w <= 4608 else 32
+            tb2 = (40 if s.mxu_passes < 3 else 32) if w <= 4608 else 32
             tb2 = min(tb2, _pad_to(-(-h_ext // 2), 8))
             out = raisr_pass_pallas_full(
                 cheap_ext, filters, patch_margin=s.patch_margin, tb2=tb2,
