@@ -80,8 +80,9 @@ static const AVOption raisr_tpu_options[] = {
       AV_OPT_TYPE_INT, { .i64 = 0 }, 0, 1, FLAGS },
     /* precision tier — the analogue of vf_raisr's asm option (which
      * defaults to avx512fp16): f32 matches the reference's AVX2/AVX512
-     * quality; bf16 is the qualified fast tier (docs/PARITY.md) */
-    { "tier", "precision tier (f32|bf16)", OFFSET(tier),
+     * quality; bf16 is the qualified fast tier; int8 is the fixed-point
+     * fast tier for 8-bit content (docs/PARITY.md) */
+    { "tier", "precision tier (f32|bf16|int8)", OFFSET(tier),
       AV_OPT_TYPE_STRING, { .str = "f32" }, 0, 0, FLAGS },
     { NULL }
 };
@@ -97,8 +98,9 @@ static av_cold int init(AVFilterContext *ctx)
     st = RTPU_InitEx(s->filterfolder, s->ratio, (unsigned)s->bits,
                      s->range == 2 ? RTPU_RANGE_FULL : RTPU_RANGE_VIDEO,
                      (unsigned)s->passes, (unsigned)s->mode,
-                     s->tier && !strcmp(s->tier, "bf16") ? RTPU_TIER_BF16
-                                                         : RTPU_TIER_F32);
+                     s->tier && !strcmp(s->tier, "bf16")   ? RTPU_TIER_BF16
+                     : s->tier && !strcmp(s->tier, "int8") ? RTPU_TIER_INT8
+                                                           : RTPU_TIER_F32);
     if (st != RTPU_OK) {
         av_log(ctx, AV_LOG_ERROR, "RTPU_Init failed: %d\n", (int)st);
         return AVERROR(EINVAL);

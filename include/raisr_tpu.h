@@ -37,10 +37,13 @@ typedef enum {
  * (RNLHandler_Init asmType; its FFmpeg filter defaults to avx512fp16).
  * F32 matches the reference's AVX2/AVX512 quality; BF16 is the AVX512FP16
  * analogue, measured strictly closer to the reference's f32 output than
- * the reference's own FP16 tier (docs/PARITY.md). */
+ * the reference's own FP16 tier (docs/PARITY.md). INT8 (8-bit content
+ * only) runs the filter matmul as fixed-point hi/lo int8 pairs on the
+ * MXU's double-rate int8 path — quality between BF16 and F32. */
 typedef enum {
   RTPU_TIER_F32 = 0,
   RTPU_TIER_BF16 = 1,
+  RTPU_TIER_INT8 = 2,
 } RTPUTier;
 
 /* One plane of 8-bit (uint8) or 10/16-bit (uint16 LE) samples. */

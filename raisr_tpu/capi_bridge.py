@@ -37,9 +37,10 @@ _engines_by_blend: dict[int, RaisrEngine] = {}
 
 def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
          passes: int, two_pass_mode: int, tier: int = 0) -> int:
-    """tier: 0 = f32-grade, 1 = bf16 fast tier — the analogue of the
-    reference C ABI's asmType parameter (RNLHandler_Init; its ffmpeg
-    filter defaults to avx512fp16, the fast tier)."""
+    """tier: 0 = f32-grade, 1 = bf16 fast tier, 2 = int8-pair fixed-point
+    tier (8-bit content only) — the analogue of the reference C ABI's
+    asmType parameter (RNLHandler_Init; its ffmpeg filter defaults to
+    avx512fp16, the fast tier)."""
     global _engine, _cfg
     try:
         _cfg = RaisrConfig(
@@ -49,7 +50,9 @@ def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
             range=RangeType(range_type),
             passes=passes,
             mode=two_pass_mode,
-            dtype="bfloat16" if tier == 1 else "float32",
+            dtype={0: "float32", 1: "bfloat16", 2: "int8"}.get(
+                tier, "float32"
+            ),
         )
         _engine = RaisrEngine(_cfg)
         _engines_by_blend.clear()

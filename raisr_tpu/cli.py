@@ -50,7 +50,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--backend", default="auto",
                    choices=["auto", "reference", "xla", "pallas"])
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="compute precision tier: float32 matches the "
                         "reference's AVX2/AVX512 quality; bfloat16 is the "
                         "AVX512-FP16 analogue (faster; measured strictly "
@@ -58,7 +58,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "reference's own FP16 tier — docs/PARITY.md). At "
                         "10/16-bit it selects the exact-patch p_split "
                         "packing (same quality class, ~2/3 the MXU work "
-                        "of the f32-grade tier)")
+                        "of the f32-grade tier). int8 (8-bit content only) "
+                        "runs the filter matmul as fixed-point hi/lo int8 "
+                        "pairs on the MXU's double-rate int8 path — "
+                        "quality between bfloat16 and float32")
 
 
 def _cfg(args) -> RaisrConfig:

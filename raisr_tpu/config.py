@@ -93,7 +93,10 @@ class RaisrConfig:
     evenoutput: bool = False
     backend: Backend = Backend.AUTO
     # Compute dtype for the fused path. float32 matches the AVX2/AVX512 paths;
-    # bfloat16 is the TPU analogue of the AVX512FP16 path.
+    # bfloat16 is the TPU analogue of the AVX512FP16 path; int8 (8-bit
+    # content only) runs the filter matmul as int8 hi/lo fixed-point pairs
+    # on the MXU's double-rate int8 path — between bfloat16 and float32 in
+    # quality (ops/pallas/full_kernel.py i8).
     dtype: str = "float32"
     # Replicate the reference hot loop's unroll-dependent ragged right edge
     # (processed cols end at 6 + 8*floor((W-12)/8), Raisr.cpp:1066,1247-1250)
@@ -112,6 +115,10 @@ class RaisrConfig:
             raise RaisrError(f"two-pass mode: {self.mode} is NOT supported.")
         if not (1.0 < self.ratio <= 4.0):
             raise RaisrError(f"ratio: {self.ratio} is NOT supported.")
+        if self.dtype not in ("float32", "bfloat16", "int8"):
+            raise RaisrError(f"dtype: {self.dtype} is NOT supported.")
+        if self.dtype == "int8" and self.bits != 8:
+            raise RaisrError("dtype int8 requires 8-bit content.")
 
     # --- Derived quantities -------------------------------------------------
 

@@ -65,6 +65,20 @@ def _round_bf16_error_diffused(f: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(qs, axis=-1)
 
 
+def _round_int_error_diffused(f: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Round filter taps onto the integer grid `round(f * scale)` with error
+    diffusion along the last (tap) axis — the fixed-point analogue of
+    _round_bf16_error_diffused for the int8-pair tier. Returns the INTEGER
+    values (f32-held), clamped to the balanced hi/lo int8 pair range."""
+    carry = jnp.zeros(f.shape[:-1], f.dtype)
+    qs = []
+    for k in range(f.shape[-1]):
+        q = jnp.clip(jnp.round((f[..., k] + carry) * scale), -32896.0, 32639.0)
+        carry = carry + f[..., k] - q / scale
+        qs.append(q)
+    return jnp.stack(qs, axis=-1)
+
+
 def _full_kernel(
     *refs,
     tb2: int,
@@ -94,6 +108,7 @@ def _full_kernel(
     zone_h: int,
     p_split: bool,
     ftrans: bool,
+    i8: bool,
 ):
     from raisr_tpu.ops.hashing import atan2_approx
 
@@ -103,6 +118,12 @@ def _full_kernel(
     it = iter(refs)
     cea, ceb, coa, cob = (next(it) for _ in range(4))
     fs = tuple(next(it) for _ in range(1 if mpack else 4))
+    if i8:
+        # int8-pair tier: fs[0] is [8*NB, k_dim] int8 (hi rows above lo
+        # rows of the int16 fixed-point filters); bias = 128*rowsum(Fq)
+        # undoes the patch -128 shift, inv = 1/scale applied post-select
+        bias_ref = next(it)  # [4 * NB, 128] int32 (lane-replicated)
+        inv_ref = next(it)  # SMEM [1] f32
     row0_ref = next(it)  # SMEM [1] int32: global row of plane row 0 (stripes)
     out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
     cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
@@ -114,6 +135,8 @@ def _full_kernel(
         col_s = next(it)
     bkt_scr = (next(it), next(it))  # int32 [band + 8, w2p]
     raw_scr = (next(it), next(it))  # f32 [band + 8, w2p]
+    if i8:
+        pt8_ref = next(it)  # int8 [k_dim, rowbatch * w2p]
     pt_refs = tuple(it)  # 1 or 2 PT buffers (2 = double-buffered groups)
 
     cf_e, cf_o = cf
@@ -285,19 +308,47 @@ def _full_kernel(
                             lo_base + j * rows_blk : lo_base + (j + 1) * rows_blk,
                             b * w2p : (b + 1) * w2p,
                         ] = planel[q : q + rows_blk, off : off + w2p]
-            if mxu_passes >= 2 and not p_split:
+            if mxu_passes >= 2 and not p_split and not i8:
                 pt_ref[k_dim : 2 * k_dim, :] = pt_ref[0:k_dim, :]
+            if i8:
+                # bulk aligned cast of the assembled bf16 PT (8-bit content:
+                # integer values 0..255, exact) to shifted int8. Staging
+                # bf16 first keeps the known-good 12-row block writes; the
+                # full-buffer cast replaces the mxu2 hi-slot dup copy.
+                pt8_ref[...] = (
+                    pt_ref[...] - jnp.bfloat16(128.0)
+                ).astype(jnp.int8)
 
             # matmul granularity: gchunk base rows per [864, K] matmul
-            # (gt is [864, gchunk*w2p] f32; keep it comfortably in VMEM)
-            gchunk = rowbatch if rowbatch * w2p <= 6 * 1920 else 1
+            # (gt is [864, gchunk*w2p] f32 — or [1728, .] i32 for the int8
+            # pair, hence the halved threshold; keep it comfortably in
+            # VMEM): the largest divisor of rowbatch under the target
+            gchunk = max(
+                d for d in range(1, rowbatch + 1)
+                if rowbatch % d == 0
+                and (d == 1 or d * w2p <= (3 if i8 else 6) * 1920)
+            )
             for g0_ in range(0, rowbatch, gchunk):
                 gb = min(gchunk, rowbatch - g0_)
                 cols = slice(g0_ * w2p, (g0_ + gb) * w2p)
-                gt_all = lax.dot_general(
-                    f_ref[...], pt_ref[:, cols], dims,
-                    preferred_element_type=jnp.float32,
-                )
+                if i8:
+                    # int8 pair: one M-stacked [2*4*NB, k_dim] int8 matmul
+                    # at 2x MXU rate = half the mxu2 contraction time;
+                    # exact int32 combine (|Fq.P| <= 121*32767*255 < 2^31)
+                    gt2 = lax.dot_general(
+                        f_ref[...], pt8_ref[:, cols], dims,
+                        preferred_element_type=jnp.int32,
+                    )
+                    gt_all = (
+                        gt2[0 : 4 * NB, :] * 256
+                        + gt2[4 * NB : 8 * NB, :]
+                        + bias_ref[...][:, 0:1]
+                    ).astype(jnp.float32)
+                else:
+                    gt_all = lax.dot_general(
+                        f_ref[...], pt_ref[:, cols], dims,
+                        preferred_element_type=jnp.float32,
+                    )
                 for b in range(g0_, g0_ + gb):
                     bc = slice((b - g0_) * w2p, (b - g0_ + 1) * w2p)
                     for r0 in range(2):
@@ -308,6 +359,10 @@ def _full_kernel(
                             sel = _tree_select(
                                 gt_all[p * NB : (p + 1) * NB, bc], idx
                             )
+                            if i8:
+                                # fixed-point descale (uniform across
+                                # buckets, so post-select is exact)
+                                sel = sel * inv_ref[0]
                             rr = 2 * (kb + b) + r0
                             raw_scr[c0][rr : rr + 1, :] = sel
     k_dim = n_blocks * BLOCK
@@ -515,6 +570,7 @@ def _full_kernel(
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "mpack",
         "interpret", "frame_h", "frame_pad", "zone_h", "p_split", "ftrans",
+        "i8",
     ),
 )
 def raisr_pass_pallas_full(
@@ -545,6 +601,7 @@ def raisr_pass_pallas_full(
     zone_h: int = 0,  # >0: global frame height for zone tests (stripes)
     p_split: bool = False,  # fast tier for >8-bit: [F',F'] x [Phi,Plo]
     ftrans: bool = False,  # K-major filter operand (mpack path only)
+    i8: bool = False,  # int8-pair fixed-point tier (8-bit content only)
 ) -> jnp.ndarray:
     """One complete RAISR pass (ratio 2), fused end to end.
 
@@ -596,10 +653,29 @@ def raisr_pass_pallas_full(
     planes = [padded[:, 0::2], padded[:, 1::2]]
     # 10/16-bit low-order planes are derived in-kernel from the f32 staging
 
+    if i8:
+        # int8-pair fixed-point tier (8-bit content): filters on an int16
+        # grid (power-of-2 scale, error-diffused rounding), split balanced
+        # into hi/lo int8 and M-stacked; patches are exact in int8 after a
+        # -128 shift. v5e runs int8 MXU at 2x the bf16 rate, so the single
+        # [2*4*NB, 144] int8 matmul costs one mxu1 slot — half of mxu2 —
+        # at near-f32 grade (max +-1 output LSB even on adversarial random
+        # patches, inside the reference's own AVX2<->AVX512 ISA spread).
+        if not mpack or p_split or ftrans:
+            raise ValueError("i8 requires the mpack layout (no p_split/ftrans)")
+        mxu_passes = 1  # one K slot: staging/scratch sized like the bf16 tier
+
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
-    if mxu_passes == 1 or p_split:
+    if (mxu_passes == 1 or p_split) and not i8:
         f_all = _round_bf16_error_diffused(
             f_all.reshape(NB, pixel_types, n_taps)
+        ).reshape(NB, pixel_types, patch_size, patch_size)
+    if i8:
+        # balanced hi/lo int8 pairs span [-32896, 32639]
+        absmax = jnp.maximum(jnp.max(jnp.abs(f_all)), 1e-6)
+        i8_scale = jnp.exp2(jnp.floor(jnp.log2(32639.0 / absmax)))
+        f_all = _round_int_error_diffused(
+            f_all.reshape(NB, pixel_types, n_taps), i8_scale
         ).reshape(NB, pixel_types, patch_size, patch_size)
     n_blocks = patch_size + 1
     f_phase = []
@@ -612,6 +688,9 @@ def raisr_pass_pallas_full(
         fp = fp.at[:NB, c0 : c0 + patch_size, r0 : r0 + patch_size].set(
             jnp.transpose(f_all[:, pt_idx], (0, 2, 1))
         )
+        if i8:
+            f_phase.append(fp.reshape(NB, k_dim))  # int16-grid values, f32
+            continue
         fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
         # p_split (fast tier for >8-bit content): [F', F'] against
         # [Phi, Plo] — the error-diffused F' carries all filter precision,
@@ -622,12 +701,29 @@ def raisr_pass_pallas_full(
         f_phase = [jnp.concatenate(f_phase, axis=0)]  # [4 * NB, mxu * 144]
         if ftrans:
             f_phase = [f_phase[0].T]  # [mxu * 144, 4 * NB] K-major
+    i8_extra = []
+    if i8:
+        fq = f_phase[0]  # [4 * NB, k_dim], values on the int16 grid
+        f_lo = jnp.mod(fq + 128.0, 256.0) - 128.0
+        f_hi = (fq - f_lo) * (1.0 / 256.0)
+        f_phase = [
+            jnp.concatenate([f_hi, f_lo], axis=0).astype(jnp.int8)
+        ]  # [8 * NB, k_dim]
+        # bias undoes the -128 patch shift: Fq @ P = Fq @ (P-128) + bias.
+        # rowsum <= 121 * 32767 < 2^24 so the f32 sum is exact; * 128
+        # only shifts the exponent.
+        bias = (128.0 * jnp.sum(fq, axis=1)).astype(jnp.int32)
+        i8_extra = [
+            jnp.tile(bias[:, None], (1, 128)),  # lane-replicated [4*NB, 128]
+            (1.0 / i8_scale).astype(jnp.float32).reshape(1),  # SMEM scalar
+        ]
 
     plane_spec = pl.BlockSpec(
         (None, band, plane_w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     f_spec = pl.BlockSpec(
-        (mxu_passes * k_dim, 4 * NB) if (mpack and ftrans)
+        (8 * NB, k_dim) if i8
+        else (mxu_passes * k_dim, 4 * NB) if (mpack and ftrans)
         else (4 * NB if mpack else NB, mxu_passes * k_dim),
         lambda i: (0, 0), memory_space=pltpu.VMEM,
     )
@@ -669,12 +765,15 @@ def raisr_pass_pallas_full(
         zone_h=zone_h,
         p_split=p_split,
         ftrans=ftrans,
+        i8=i8,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
     n_stage = 4 if (mxu_passes >= 3 or p_split) else 2
     scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.int32) for _ in range(2)]
     scratch += [pltpu.VMEM((band + 8, w2p), jnp.float32) for _ in range(2)]
+    if i8:
+        scratch += [pltpu.VMEM((k_dim, rowbatch * w2p), jnp.int8)]
     n_pt = 1 if rowbatch >= tb2 + 2 else 2  # double-buffer multi-group runs
     scratch += [
         pltpu.VMEM((mxu_passes * k_dim, rowbatch * w2p), jnp.bfloat16)
@@ -693,15 +792,23 @@ def raisr_pass_pallas_full(
         0 if row0 is None else row0, jnp.int32
     ).reshape(1)
     row0_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    i8_specs = []
+    if i8:
+        i8_specs = [
+            pl.BlockSpec(
+                (4 * NB, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=plane_specs + [f_spec] * len(f_phase) + [row0_spec],
+        in_specs=plane_specs + [f_spec] * len(f_phase) + i8_specs + [row0_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*plane_args, *f_phase, row0_arr)
+    )(*plane_args, *f_phase, *i8_extra, row0_arr)
     out = out.reshape(2 * h2p, 2 * w2p)
 
     oute = out[:, :w2p]

@@ -63,6 +63,9 @@ class PassStatics:
     # >8-bit fast tier: [F',F'] x [Phi,Plo] (error-diffused F', exact P) —
     # mxu2 cost with bf16-tier quality semantics (full_kernel.py p_split)
     p_split: bool = False
+    # int8-pair fixed-point tier (8-bit content): hi/lo int8 filters on the
+    # MXU's 2x int8 path, exact shifted-int8 patches (full_kernel.py i8)
+    i8: bool = False
 
     @property
     def patch_margin(self) -> int:
@@ -160,6 +163,7 @@ def raisr_pass(
             frame_pad=frame_pad,
             interpret=s.backend_interpret,
             p_split=s.p_split,
+            i8=s.i8,
         )
 
     if (
@@ -286,12 +290,18 @@ def _finish_pass(cheap: jnp.ndarray, raw: jnp.ndarray, s: PassStatics) -> jnp.nd
 
 def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStatics:
     p_split = False
+    i8 = False
     if cfg.dtype == "bfloat16":
         # fp16-class fast tier (reference AVX512FP16 analogue): one matmul
         # slot at 8-bit (patches exact in bf16); two slots [Phi, Plo] at
         # 10/16-bit so patches stay exact (p_split)
         mxu_passes = 1 if cfg.bits == 8 else 2
         p_split = cfg.bits > 8
+    elif cfg.dtype == "int8":
+        # int8-pair fixed-point tier: one double-rate int8 matmul slot,
+        # quality between the bf16 tier and f32-grade (cfg validates bits==8)
+        mxu_passes = 1
+        i8 = True
     else:
         mxu_passes = 2 if cfg.bits == 8 else 3
     bank_edges = tuple(
@@ -315,6 +325,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         mxu_passes=mxu_passes,
         bank_edges=bank_edges,
         p_split=p_split,
+        i8=i8,
     )
 
 

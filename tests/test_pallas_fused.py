@@ -446,3 +446,89 @@ def test_single_phase_kernel_frame_stacking():
     for i, single in enumerate(singles):
         got = tall[i * period + pad : i * period + pad + h]
         assert np.array_equal(got, single), (i, np.abs(got - single).max())
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_full_pass_kernel_i8_tier():
+    """int8-pair fixed-point tier (i8=True): filters on an int16 grid split
+    into hi/lo int8, patches exact after the -128 shift. Quality must land
+    between the bf16 tier and the f32-grade tier — strictly fewer flips than
+    the accepted bf16 tier on the same content (measured: 0.96% vs 5.6%
+    flips, 49.8 vs 47.9 dB on uniform noise)."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, dtype="int8")
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+
+    img = _smooth(48, 64, 8, seed=33)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    f32 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=2, **kw))
+    bf16 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=1, **kw))
+    i8 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), i8=True, **kw))
+    d_i8 = np.abs(i8 - f32)
+    d_bf = np.abs(bf16 - f32)
+    # same isolated-flip caveat as the bf16 tier test above; the fixed-point
+    # grid (<= 1.2e-4 per tap, uniform) is finer than bf16's relative 2^-9
+    assert (d_i8 > 8).mean() <= (d_bf > 8).mean()
+    assert (d_i8 != 0).mean() <= (d_bf != 0).mean()
+    mse = float((d_i8.astype(np.float64) ** 2).mean())
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr >= 45.0, psnr
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_i8_tier_wiring_and_gchunk():
+    """dtype='int8' wiring + the intermediate matmul group size: at
+    rowbatch=10 with a 768-lane plane the i8 VMEM target forces gchunk=5
+    (the largest divisor), exercising the grouped int8 matmul path."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig, RaisrError
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pipeline import pass_statics
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, dtype="int8")
+    model = load_model(folder, cfg)
+    s = pass_statics(cfg, model, "pallas")
+    assert s.i8 and s.mxu_passes == 1 and not s.p_split
+    with pytest.raises(RaisrError):
+        RaisrConfig(filterfolder=folder, dtype="int8", bits=10)
+
+    bank = model.banks[0]
+    img = _smooth(20, 1536, 8, seed=5)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(8),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+        tb2=8, rowbatch=10,
+    )
+    f32 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=2, **kw))
+    i8 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), i8=True, **kw))
+    d = np.abs(i8 - f32)
+    assert (d > 8).mean() < 5e-3
+    assert np.median(d) == 0.0

@@ -386,3 +386,40 @@ def test_odd_dimensions_15x(tmp_path):
     mine = RaisrEngine(cfg).process(Frame(y=yp)).y
     assert mine.shape == (oh, ow)
     assert _psnr(mine, ref, 255.0) >= 55.0
+
+
+def test_i8_tier_inside_reference_fp16_envelope(tmp_path):
+    """The int8-pair tier (--dtype int8) claims quality between the bf16
+    fast tier and f32-grade: like the bf16 test above, its output must sit
+    inside the reference's own FP16-vs-f32 envelope (PSNR and max |diff|)
+    against the compiled reference's f32 AVX-512 output."""
+    import jax.numpy as jnp  # noqa: F401  (engine import chain needs jax)
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+    import raisr_tpu.ops.pallas.full_kernel as fk
+
+    yp = _content(8)
+    kw = dict(folder="filters_2x/filters_highres", passes=2)
+    ref_f32 = _run_reference(str(tmp_path), yp, asm=2, **kw).astype(int)
+    ref_fp16 = _run_reference(str(tmp_path), yp, asm=5, **kw).astype(int)
+
+    orig = fk.raisr_pass_pallas_full
+    fk.raisr_pass_pallas_full = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        cfg = RaisrConfig(
+            filterfolder=os.path.join(REFERENCE_ROOT, kw["folder"]),
+            passes=2, backend="pallas", dtype="int8",
+        )
+        mine = RaisrEngine(cfg).process(Frame(y=yp)).y.astype(int)
+    finally:
+        fk.raisr_pass_pallas_full = orig
+
+    p_ref16 = _psnr(ref_fp16, ref_f32, 255.0)
+    p_mine = _psnr(mine, ref_f32, 255.0)
+    d_ref16 = np.abs(ref_fp16 - ref_f32).max()
+    d_mine = np.abs(mine - ref_f32).max()
+    print(f"i8 vs ref f32: {p_mine:.1f} dB max {d_mine}; "
+          f"ref fp16 envelope: {p_ref16:.1f} dB max {d_ref16}")
+    assert p_mine >= p_ref16, (p_mine, p_ref16)
+    assert d_mine <= d_ref16, (d_mine, d_ref16)

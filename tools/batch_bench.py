@@ -75,6 +75,9 @@ bench("8-bit  f32-grade 2-pass",
 bench("8-bit  bf16-tier 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
                   dtype="bfloat16"))
+bench("8-bit  int8-tier 2-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
+                  dtype="int8"))
 bench("10-bit fast-tier 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas", bits=10,
                   dtype="bfloat16"))

@@ -36,6 +36,7 @@ MXU = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 CCHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 PSPLIT = "psplit" in sys.argv[5:]
 FTRANS = "ftrans" in sys.argv[5:]
+I8 = "i8" in sys.argv[5:]
 
 N_SMALL, N_BIG = 4, 12  # per-frame time = slope between the two batch sizes
 H, W = 2160, 3840  # one 4K cheap plane per frame
@@ -56,7 +57,7 @@ def fn(cheap):
     return raisr_pass_pallas_full(
         cheap, filters, k1d, nf, qstr, qcoh,
         mxu_passes=MXU, tb2=TB2, rowbatch=ROWBATCH, cchunk=CCHUNK,
-        p_split=PSPLIT, ftrans=FTRANS,
+        p_split=PSPLIT, ftrans=FTRANS, i8=I8,
     )
 
 
@@ -89,7 +90,8 @@ t_big = measure(N_BIG)
 per_frame = (t_big - t_small) / (N_BIG - N_SMALL)
 print(
     f"tb2={TB2} rowbatch={ROWBATCH} mxu={MXU} cchunk={CCHUNK}"
-    f"{' psplit' if PSPLIT else ''}{' ftrans' if FTRANS else ''}: "
+    f"{' psplit' if PSPLIT else ''}{' ftrans' if FTRANS else ''}"
+    f"{' i8' if I8 else ''}: "
     f"{1000 * per_frame:.3f} ms/pass-frame (slope {N_SMALL}->{N_BIG}; "
     f"raw {1000 * t_small:.1f} / {1000 * t_big:.1f} ms)"
 )

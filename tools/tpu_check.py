@@ -10,7 +10,8 @@ divergences exist — e.g. lax.reduce_precision is silently fine in interpret
 but rejected by real Mosaic):
 
   - band (hash+filter) kernel: pt=4/1, mxu_passes 1/2/3
-  - whole-pass fused kernel: mxu2 (8-bit), mxu3 (10-bit), bf16 tier (mxu1)
+  - whole-pass fused kernel: mxu2 (8-bit), mxu3 (10-bit), bf16 tier (mxu1),
+    int8-pair tier (i8)
   - single-phase (1.5x) whole-pass kernel
   - guard-banded frame stacking (batched engine path)
   - row-sharded stripe path (1-device mesh; exercises the row0 SMEM input
@@ -227,6 +228,34 @@ def check_bf16_tier_on_hw():
     return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>8 {(d > 8).mean():.5f}"
 
 
+@check("full_kernel_i8_tier")
+def check_i8_tier_on_hw():
+    import dataclasses
+
+    _, _, statics_p, filters, qstr, qcoh = _statics(dtype="int8")
+    assert statics_p.i8 and statics_p.mxu_passes == 1
+    statics_t = dataclasses.replace(
+        statics_p, backend="taps", mxu_passes=2, i8=False
+    )
+    img = _img(128, 256)
+    from raisr_tpu.ops.pipeline import raisr_pass
+    from raisr_tpu.ops.jit_utils import tpu_jit
+
+    args = (filters[0], qstr[0], qcoh[0])
+    ref = np.asarray(jax.jit(
+        lambda y: raisr_pass(y, *args, statics_t, 0))(img))
+    out = np.asarray(tpu_jit(
+        lambda y: raisr_pass(y, *args, statics_p, 0))(img))
+    d = np.abs(out - ref)
+    mse = float((d ** 2).mean())
+    p = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    # the int16 fixed-point grid is finer than bf16's relative 2^-9, so the
+    # tier must beat the bf16 floor on the same content class
+    assert p >= 45.0, p
+    assert (d > 8).mean() < 5e-3, (d > 8).mean()
+    return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>8 {(d > 8).mean():.5f}"
+
+
 @check("single_phase_kernel_15x")
 def check_single_phase_on_hw():
     import dataclasses
@@ -335,6 +364,7 @@ CHECKS = [
     check_full_kernel_on_hw,
     check_full_kernel_mxu3_on_hw,
     check_bf16_tier_on_hw,
+    check_i8_tier_on_hw,
     check_single_phase_on_hw,
     check_frame_stacking_on_hw,
     check_row_sharded_on_hw,
