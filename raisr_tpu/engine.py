@@ -98,6 +98,13 @@ class RaisrEngine:
         backend = _resolve_backend(cfg)
         self._backend = backend
         self._statics = pass_statics(cfg, self.model, backend)
+        if backend == "pallas" and jax.default_backend() != "tpu":
+            # Explicit --backend pallas off-TPU: Mosaic kernels only lower
+            # on TPU, so run them interpreted (slow; exact same code path
+            # the CPU-mesh tests exercise) instead of failing in lowering.
+            self._statics = dataclasses.replace(
+                self._statics, backend_interpret=True
+            )
         self._np_out_dtype = np.uint8 if cfg.bits == 8 else np.uint16
 
         self._filters = tuple(jnp.asarray(b.filters) for b in self.model.banks)

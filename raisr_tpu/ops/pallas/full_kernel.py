@@ -846,6 +846,7 @@ def _full_kernel_single(
     frame_h: int,
     frame_pad: int,
     zone_h: int,
+    p_split: bool,
 ):
     """Whole RAISR pass for single-phase banks: stride-1 output rows.
 
@@ -861,8 +862,9 @@ def _full_kernel_single(
         return pltpu.roll(x, shift % x.shape[1], axis=1)
 
     it = iter(refs)
+    has_lo = mxu_passes >= 3 or p_split
     ca, cb = next(it), next(it)
-    if mxu_passes >= 3:
+    if has_lo:
         cla, clb = next(it), next(it)
     n_f = -(-share // ostack)
     fs = tuple(next(it) for _ in range(n_f))
@@ -870,7 +872,7 @@ def _full_kernel_single(
     out_ref = next(it)  # [band, wp]
     cf = next(it)  # f32 staging [band + 16, plane_w]
     c_s = next(it)  # bf16 staging
-    if mxu_passes >= 3:
+    if has_lo:
         cl_s = next(it)
     bkt_scr = next(it)  # int32 [band + 8, wp]
     raw_scr = next(it)  # f32 [band + 8, wp]
@@ -880,7 +882,7 @@ def _full_kernel_single(
     cf[0:band, :] = ca[...]
     cf[band : band + 16, :] = cb[0:16, :]
     c_s[...] = cf[...].astype(jnp.bfloat16)
-    if mxu_passes >= 3:
+    if has_lo:
         cl_s[0:band, :] = cla[...].astype(jnp.bfloat16)
         cl_s[band : band + 16, :] = clb[0:16, :].astype(jnp.bfloat16)
 
@@ -893,22 +895,41 @@ def _full_kernel_single(
 
     # ---- separable structure tensor -----------------------------------------
     n_vert = band + 3  # tensor rows for raw rows t in [-1, band+2)
+    nk = len(k1d)
+    # Gaussian symmetry pairing (same as the 4-phase kernel): mirrored taps
+    # share a weight, so sum first and multiply once — 6 VPU multiplies per
+    # 11-tap conv instead of 11.
+    k_sym = all(k1d[i] == k1d[nk - 1 - i] for i in range(nk))
 
     def vert(mp):
+        if not k_sym:
+            acc = None
+            for i, kv in enumerate(k1d):
+                t = mp[i : i + n_vert, :] * kv
+                acc = t if acc is None else acc + t
+            return acc
         acc = None
-        for i, kv in enumerate(k1d):
-            t = mp[i : i + n_vert, :] * kv
+        for i in range(nk // 2):
+            i2 = nk - 1 - i
+            t = (mp[i : i + n_vert, :] + mp[i2 : i2 + n_vert, :]) * k1d[i]
             acc = t if acc is None else acc + t
-        return acc
+        mid = nk // 2
+        return acc + mp[mid : mid + n_vert, :] * k1d[mid]
 
     va, vb_, vd = vert(gx * gx), vert(gx * gy), vert(gy * gy)
 
     def horiz(vm):
+        if not k_sym:
+            acc = None
+            for j, kv in enumerate(k1d):
+                t = _roll(vm, 5 - j) * kv
+                acc = t if acc is None else acc + t
+            return acc * nf
         acc = None
-        for j, kv in enumerate(k1d):
-            t = _roll(vm, 5 - j) * kv
+        for j in range(nk // 2):
+            t = (_roll(vm, 5 - j) + _roll(vm, j - 5)) * k1d[j]
             acc = t if acc is None else acc + t
-        return acc * nf
+        return (acc + vm * k1d[nk // 2]) * nf
 
     a = horiz(va)[:, 6 : 6 + wp]
     b = horiz(vb_)[:, 6 : 6 + wp]
@@ -955,7 +976,14 @@ def _full_kernel_single(
         for j in range(n_blocks):
             block = c_s[q : q + BLOCK, j + 1 : j + 1 + wp]
             pt_ref[j * BLOCK : (j + 1) * BLOCK, :] = block
-            if mxu_passes >= 2:
+            if p_split:
+                # fast tier for >8-bit: slot 2 is the LO plane — PT stays
+                # exact as [Phi, Plo] against [F', F'] (cf. the 4-phase
+                # kernel's p_split)
+                pt_ref[k_dim + j * BLOCK : k_dim + (j + 1) * BLOCK, :] = (
+                    cl_s[q : q + BLOCK, j + 1 : j + 1 + wp]
+                )
+            elif mxu_passes >= 2:
                 pt_ref[k_dim + j * BLOCK : k_dim + (j + 1) * BLOCK, :] = block
             if mxu_passes >= 3:
                 pt_ref[2 * k_dim + j * BLOCK : 2 * k_dim + (j + 1) * BLOCK, :] = (
@@ -1068,7 +1096,7 @@ def _full_kernel_single(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "ostack", "interpret",
-        "frame_h", "frame_pad", "zone_h",
+        "frame_h", "frame_pad", "zone_h", "p_split",
     ),
 )
 def raisr_pass_pallas_full_single(
@@ -1094,6 +1122,7 @@ def raisr_pass_pallas_full_single(
     frame_pad: int = 0,
     row0: jnp.ndarray | None = None,  # traced scalar: global row of row 0
     zone_h: int = 0,  # >0: global frame height for zone tests (stripes)
+    p_split: bool = False,  # fast tier for >8-bit: [F',F'] x [Phi,Plo]
 ) -> jnp.ndarray:
     """One complete RAISR pass for single-phase filter banks (ratio != 2,
     reference gUsePixelType == false, Raisr.cpp:1477-1480), fused end to end."""
@@ -1116,13 +1145,16 @@ def raisr_pass_pallas_full_single(
     left = m + 1
     right = plane_w - w - left
 
+    if p_split and mxu_passes != 2:
+        raise ValueError("single-phase p_split uses exactly 2 K slots")
+
     padded = jnp.pad(cheap, ((top, bottom), (left, right)))
     planes = [padded]
-    if mxu_passes >= 3:
+    if mxu_passes >= 3 or p_split:
         planes.append(padded - _round_bf16(padded))
 
     f_all = filters[:, :n_taps].reshape(NB, patch_size, patch_size)
-    if mxu_passes == 1:
+    if mxu_passes == 1 or p_split:
         f_all = _round_bf16_error_diffused(
             f_all.reshape(NB, n_taps)
         ).reshape(NB, patch_size, patch_size)
@@ -1136,9 +1168,11 @@ def raisr_pass_pallas_full_single(
                 jnp.transpose(f_all, (0, 2, 1))
             )
             fhi, flo = _split_hi_lo(fp.reshape(NB, k_dim))
-            parts.append(
-                jnp.concatenate([fhi, flo, fhi][:mxu_passes], axis=1)
-            )
+            # p_split: [F', F'] against [Phi, Plo] — the error-diffused F'
+            # carries all filter precision, the two P slots keep >8-bit
+            # patch values exact (cf. the 4-phase kernel's p_split)
+            slots = [fhi, fhi] if p_split else [fhi, flo, fhi][:mxu_passes]
+            parts.append(jnp.concatenate(slots, axis=1))
         f_groups.append(jnp.concatenate(parts, axis=0))
 
     plane_spec = pl.BlockSpec(
@@ -1172,9 +1206,10 @@ def raisr_pass_pallas_full_single(
         frame_h=frame_h,
         frame_pad=frame_pad,
         zone_h=zone_h,
+        p_split=p_split,
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32)]
-    n_stage = 1 if mxu_passes < 3 else 2
+    n_stage = 1 if (mxu_passes < 3 and not p_split) else 2
     scratch += [pltpu.VMEM((band + 16, plane_w), jnp.bfloat16) for _ in range(n_stage)]
     scratch.append(pltpu.VMEM((band + 8, wp), jnp.int32))
     scratch.append(pltpu.VMEM((band + 8, wp), jnp.float32))

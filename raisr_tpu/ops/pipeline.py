@@ -188,9 +188,8 @@ def raisr_pass(
             qstrength=s.qstrength,
             qcoherence=s.qcoherence,
             patch_size=s.patch_size,
-            # the single-phase kernel has no p_split variant; >8-bit fast
-            # tier requests fall back to the f32-grade 3-slot packing
-            mxu_passes=3 if s.p_split else s.mxu_passes,
+            mxu_passes=s.mxu_passes,
+            p_split=s.p_split,
             min_val=s.min_val,
             max_val=s.max_val,
             blending=int(s.blending),

@@ -532,3 +532,56 @@ def test_i8_tier_wiring_and_gchunk():
     d = np.abs(i8 - f32)
     assert (d > 8).mean() < 5e-3
     assert np.median(d) == 0.0
+
+
+@pytest.mark.skipif(
+    not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
+)
+def test_single_phase_kernel_p_split_10bit(tmp_path):
+    """Single-phase (1.5x) >8-bit fast tier: p_split ([F',F'] x [Phi,Plo])
+    keeps patches exact, so quality matches the 8-bit bf16 tier's class
+    against the f32-grade 3-slot packing — and pass_statics wires it for
+    ratio-1.5 banks at --dtype bfloat16 --bits 10. The reference ships no
+    10-bit 1.5x bank, so the 8-bit bank files are aliased under 10-bit
+    names (filter values are plain floats; only the name encodes bits)."""
+    import shutil
+
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pipeline import pass_statics
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full_single
+
+    src = "/root/reference/filters_1.5x/filters_highres"
+    folder = str(tmp_path / "filters15_10bit")
+    (tmp_path / "filters15_10bit").mkdir()
+    for name in ("filterbin_2_8", "Qfactor_strbin_2_8", "Qfactor_cohbin_2_8"):
+        shutil.copy(f"{src}/{name}", f"{folder}/{name.replace('_8', '_10')}")
+    shutil.copy(f"{src}/config", f"{folder}/config")
+    cfg = RaisrConfig(filterfolder=folder, ratio=1.5, bits=10,
+                      dtype="bfloat16")
+    model = load_model(folder, cfg)
+    s = pass_statics(cfg, model, "pallas")
+    assert s.p_split and s.mxu_passes == 2 and not s.use_pixel_type
+    bank = model.banks[0]
+
+    img = _smooth(48, 96, 10, seed=29)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(10),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+    )
+    f32 = np.asarray(raisr_pass_pallas_full_single(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=3, **kw))
+    fast = np.asarray(raisr_pass_pallas_full_single(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=2,
+        p_split=True, **kw))
+    diff = np.abs(fast - f32)
+    assert (diff > 32).mean() < 5e-3, (diff > 32).mean()
+    assert np.median(diff) == 0.0
+    mse = float((diff.astype(np.float64) ** 2).mean())
+    psnr = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+    assert psnr >= 40.0, psnr
