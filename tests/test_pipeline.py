@@ -170,6 +170,19 @@ class TestEngine:
         # two chained passes compound bucket-flip divergence slightly
         _compare(ours, oracle, max_frac=0.02, max_abs=64)
 
+    def test_explicit_pallas_backend_interprets_off_tpu(
+        self, filters_2x_highres_mod
+    ):
+        """--backend pallas on a non-TPU host must run the Mosaic kernels
+        interpreted (and produce output) instead of failing in lowering."""
+        cfg = RaisrConfig(filterfolder=filters_2x_highres_mod, passes=1,
+                          backend="pallas")
+        eng = RaisrEngine(cfg)
+        assert eng._statics.backend_interpret  # conftest forces CPU
+        y = _smooth_image(24, 32, 8).astype(np.uint8)
+        out = eng.process(Frame(y=y))
+        assert out.y.shape == (48, 64) and out.y.dtype == np.uint8
+
     def test_full_vs_exact_edges(self, filters_2x_highres_mod):
         y = _smooth_image(24, 31, 8).astype(np.uint8)  # odd width: ragged edge
         cfg_e = RaisrConfig(filterfolder=filters_2x_highres_mod, exact_edges=True)

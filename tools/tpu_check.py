@@ -270,6 +270,49 @@ def check_single_phase_on_hw():
     return f"max {d.max():.3f}, frac>0 {frac:.5f}"
 
 
+@check("single_phase_p_split_10bit")
+def check_single_phase_p_split_on_hw():
+    """Single-phase (1.5x) >8-bit fast tier ([F',F'] x [Phi,Plo]) under real
+    Mosaic. The reference ships no 10-bit 1.5x bank, so the 8-bit bank files
+    are aliased under 10-bit names (values are plain floats; only the file
+    name encodes bits) — same trick as
+    tests/test_pallas_fused.py::test_single_phase_kernel_p_split_10bit."""
+    import dataclasses
+    import shutil
+    import tempfile
+
+    src = "/root/reference/filters_1.5x/filters_highres"
+    with tempfile.TemporaryDirectory() as folder:
+        for name in ("filterbin_2_8", "Qfactor_strbin_2_8",
+                     "Qfactor_cohbin_2_8"):
+            shutil.copy(f"{src}/{name}",
+                        f"{folder}/{name.replace('_8', '_10')}")
+        shutil.copy(f"{src}/config", f"{folder}/config")
+        _, _, statics_p, filters, qstr, qcoh = _statics(
+            folder=folder, ratio=1.5, bits=10, dtype="bfloat16"
+        )
+    assert statics_p.p_split and statics_p.mxu_passes == 2
+    # quality reference: the f32-grade taps pipeline at 10-bit
+    statics_t = dataclasses.replace(
+        statics_p, backend="taps", mxu_passes=3, p_split=False
+    )
+    img = _img(126, 252, bits=10, seed=13)
+    from raisr_tpu.ops.pipeline import raisr_pass
+    from raisr_tpu.ops.jit_utils import tpu_jit
+
+    args = (filters[0], qstr[0], qcoh[0])
+    ref = np.asarray(jax.jit(
+        lambda y: raisr_pass(y, *args, statics_t, 0))(img))
+    out = np.asarray(tpu_jit(
+        lambda y: raisr_pass(y, *args, statics_p, 0))(img))
+    d = np.abs(out - ref)
+    mse = float((d ** 2).mean())
+    p = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+    assert p >= 40.0, p
+    assert (d > 32).mean() < 5e-3, (d > 32).mean()
+    return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>32 {(d > 32).mean():.5f}"
+
+
 @check("frame_stacking_batched")
 def check_frame_stacking_on_hw():
     """Batched guard-banded stack == per-frame, bit for bit, on real TPU."""
@@ -366,6 +409,7 @@ CHECKS = [
     check_bf16_tier_on_hw,
     check_i8_tier_on_hw,
     check_single_phase_on_hw,
+    check_single_phase_p_split_on_hw,
     check_frame_stacking_on_hw,
     check_row_sharded_on_hw,
     check_pipeline_quality,
