@@ -17,10 +17,13 @@
  * Usage:
  *   ffmpeg -i in.mp4 -vf "raisr_tpu=ratio=2:passes=2:filterfolder=filters_2x/filters_highres" out.mp4
  *
- * NOTE: this file is shipped as integration source; the build container for
- * raisr_tpu has no FFmpeg tree, so it is validated structurally (the same
- * frame loop is exercised end-to-end by tools/capi_y4m.c, which is tested
- * bit-identical to the Python CLI in tests/test_capi.py).
+ * Validation: (1) type-checked under gcc -Wall -Werror against the REAL
+ * libavutil headers via ffmpeg/compile_check.sh (libavfilter surface
+ * shimmed, see compile_shim/; wired as tests/test_capi.py::
+ * test_ffmpeg_filter_compiles_against_avutil); (2) built against a genuine
+ * FFmpeg n6.1.1 tree in CI (build_ffmpeg_ci.sh) with registration +
+ * transcode-parity checks; (3) the same frame loop is exercised end-to-end
+ * by tools/capi_y4m.c, tested bit-identical to the Python CLI.
  */
 
 #include <stdio.h>

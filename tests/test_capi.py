@@ -120,3 +120,18 @@ def test_bridge_tier_selects_fast_tier():
     assert rc == 0
     assert cb._cfg.dtype == "float32"
     cb.deinit()
+
+
+def test_ffmpeg_filter_compiles_against_avutil():
+    """vf_raisr_tpu.c must type-check under a real compiler: genuine
+    libavutil headers (AVFrame, AVOption, pixdesc — everything the frame
+    loop manipulates) plus the minimal libavfilter shim in
+    ffmpeg/compile_shim/. The authoritative full FFmpeg-tree build runs in
+    CI (ffmpeg/build_ffmpeg_ci.sh)."""
+    script = os.path.join(REPO, "ffmpeg", "compile_check.sh")
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    r = subprocess.run([script], capture_output=True, text=True, timeout=120)
+    if r.returncode == 77:
+        pytest.skip("libavutil-dev headers not installed")
+    assert r.returncode == 0, r.stdout + r.stderr
