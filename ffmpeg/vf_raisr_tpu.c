@@ -57,6 +57,7 @@ typedef struct RaisrTpuContext {
     int mode;
     int evenoutput;
     char *tier;
+    int threadcount;
     int framecount;
     int nb_planes;
 } RaisrTpuContext;
@@ -87,6 +88,11 @@ static const AVOption raisr_tpu_options[] = {
      * fast tier for 8-bit content (docs/PARITY.md) */
     { "tier", "precision tier (f32|bf16|int8)", OFFSET(tier),
       AV_OPT_TYPE_STRING, { .str = "f32" }, 0, 0, FLAGS },
+    /* accepted for drop-in compatibility with vf_raisr command lines:
+     * scheduling is XLA-managed on TPU, so threadcount is advisory */
+    { "threadcount", "accepted for vf_raisr compatibility (scheduling is "
+      "XLA-managed)", OFFSET(threadcount), AV_OPT_TYPE_INT,
+      { .i64 = 20 }, 1, 120, FLAGS },
     { NULL }
 };
 
