@@ -119,6 +119,11 @@ class RaisrConfig:
             raise RaisrError(f"dtype: {self.dtype} is NOT supported.")
         if self.dtype == "int8" and self.bits != 8:
             raise RaisrError("dtype int8 requires 8-bit content.")
+        if self.dtype == "int8" and self.ratio != 2.0:
+            # the int8-pair matmul is implemented in the 4-phase (ratio-2)
+            # kernel only; refuse rather than silently run another tier
+            raise RaisrError("dtype int8 requires ratio 2 "
+                             "(use bfloat16 for other ratios).")
 
     # --- Derived quantities -------------------------------------------------
 

@@ -181,6 +181,12 @@ class TestConfigValidation:
         with pytest.raises(RaisrError):
             RaisrConfig(blending=0)
 
+    def test_int8_requires_8bit_ratio2(self):
+        with pytest.raises(RaisrError, match="8-bit"):
+            RaisrConfig(dtype="int8", bits=10)
+        with pytest.raises(RaisrError, match="ratio 2"):
+            RaisrConfig(dtype="int8", ratio=1.5)
+
     def test_bad_mode(self):
         with pytest.raises(RaisrError):
             RaisrConfig(mode=-1)
