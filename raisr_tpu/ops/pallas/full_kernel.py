@@ -177,13 +177,14 @@ def _full_kernel(
     # vert output index t' = t+1 in [0, band+3)
     n_vert = band + 3
     nk = len(k1d)
-    # The Gaussian window is symmetric (k1d[i] == k1d[nk-1-i]): pair the
-    # mirrored taps and multiply their SUM by the shared weight — 6 VPU
-    # multiplies per 11-tap conv instead of 11 (adds unchanged). ~-25% of
-    # the tensor-conv VPU work (NOTES r2 lever #2a).
+    # Gaussian-symmetry tap pairing is OFF by default: on an FMA machine
+    # the unpaired conv is 11 FMAs while pairing is 5 adds + 6 FMAs with a
+    # serial add->FMA dependency — measured A/B (tb2=40, mxu2, same day):
+    # paired 10.017 vs unpaired 9.830 ms/pass. RAISR_ABLATE=pair re-enables
+    # for reproduction.
     k_sym = (
         all(k1d[i] == k1d[nk - 1 - i] for i in range(nk))
-        and _ABLATE != "nopair"
+        and _ABLATE == "pair"
     )
 
     def vert(mp):
@@ -896,10 +897,12 @@ def _full_kernel_single(
     # ---- separable structure tensor -----------------------------------------
     n_vert = band + 3  # tensor rows for raw rows t in [-1, band+2)
     nk = len(k1d)
-    # Gaussian symmetry pairing (same as the 4-phase kernel): mirrored taps
-    # share a weight, so sum first and multiply once — 6 VPU multiplies per
-    # 11-tap conv instead of 11.
-    k_sym = all(k1d[i] == k1d[nk - 1 - i] for i in range(nk))
+    # pairing off by default — see the 4-phase kernel's measured A/B (FMA
+    # makes the unpaired chain at least as fast); RAISR_ABLATE=pair opts in
+    k_sym = (
+        all(k1d[i] == k1d[nk - 1 - i] for i in range(nk))
+        and _ABLATE == "pair"
+    )
 
     def vert(mp):
         if not k_sym:
