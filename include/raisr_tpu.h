@@ -75,7 +75,13 @@ RTPUStatus RTPU_SetRes(const RTPUPlane* in_y, const RTPUPlane* in_cb,
                        const RTPUPlane* out_cb, const RTPUPlane* out_cr);
 
 /* Upscale one frame (mirrors RNLHandler_Process). Cb/Cr may be NULL for
- * luma-only processing. */
+ * luma-only processing.
+ *
+ * Thread safety: calls are safe from any thread but serialize internally
+ * (the embedded interpreter's GIL). For stream-level parallelism use one
+ * process per stream — the reference's own N-streams throughput recipe
+ * (reference docs/performance.md:8) — or batch frames through the Python
+ * engine's process_batch_y. */
 RTPUStatus RTPU_Process(const RTPUPlane* in_y, const RTPUPlane* in_cb,
                         const RTPUPlane* in_cr, RTPUPlane* out_y,
                         RTPUPlane* out_cb, RTPUPlane* out_cr,
