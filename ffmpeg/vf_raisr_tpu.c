@@ -26,6 +26,7 @@
  * by tools/capi_y4m.c, tested bit-identical to the Python CLI.
  */
 
+#include <limits.h>
 #include <stdio.h>
 #include <string.h>
 
@@ -58,6 +59,7 @@ typedef struct RaisrTpuContext {
     int evenoutput;
     char *tier;
     int threadcount;
+    int device;
     int framecount;
     int nb_planes;
 } RaisrTpuContext;
@@ -93,6 +95,10 @@ static const AVOption raisr_tpu_options[] = {
     { "threadcount", "accepted for vf_raisr compatibility (scheduling is "
       "XLA-managed)", OFFSET(threadcount), AV_OPT_TYPE_INT,
       { .i64 = 20 }, 1, 120, FLAGS },
+    /* chip selection for one-process-per-chip deployments — the analogue
+     * of vf_raisr's device option (OpenCL device index) */
+    { "device", "accelerator chip index", OFFSET(device), AV_OPT_TYPE_INT,
+      { .i64 = 0 }, 0, INT_MAX, FLAGS },
     { NULL }
 };
 
@@ -104,6 +110,14 @@ static av_cold int init(AVFilterContext *ctx)
     RTPUStatus st;
 
     s->framecount = 0;
+    if (s->device > 0) {
+        st = RTPU_SetDevice(s->device);
+        if (st != RTPU_OK) {
+            av_log(ctx, AV_LOG_ERROR, "RTPU_SetDevice(%d) failed: %d\n",
+                   s->device, (int)st);
+            return AVERROR(EINVAL);
+        }
+    }
     st = RTPU_InitEx(s->filterfolder, s->ratio, (unsigned)s->bits,
                      s->range == 2 ? RTPU_RANGE_FULL : RTPU_RANGE_VIDEO,
                      (unsigned)s->passes, (unsigned)s->mode,

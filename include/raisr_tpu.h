@@ -69,6 +69,15 @@ RTPUStatus RTPU_InitEx(const char* model_path, float ratio,
                        unsigned int passes, unsigned int two_pass_mode,
                        RTPUTier tier);
 
+/* Pin this process's engine to accelerator chip `device_index` (as
+ * enumerated by the runtime). Call before RTPU_Init*. The analogue of the
+ * reference's RNLHandler_SetOpenCLContext platform/device selection
+ * (Library/RaisrHandler.h:42-46): on multi-chip hosts, run one process
+ * per stream pinned to distinct chips — the reference's N-streams
+ * throughput recipe. Returns RTPU_ERROR_BAD_PARAMETER for an out-of-range
+ * index (checked at Init). */
+RTPUStatus RTPU_SetDevice(int device_index);
+
 /* Fix frame geometry (mirrors RNLHandler_SetRes; triggers compilation). */
 RTPUStatus RTPU_SetRes(const RTPUPlane* in_y, const RTPUPlane* in_cb,
                        const RTPUPlane* in_cr, const RTPUPlane* out_y,

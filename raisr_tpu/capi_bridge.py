@@ -35,6 +35,27 @@ _cfg: RaisrConfig | None = None
 _engines_by_blend: dict[int, RaisrEngine] = {}
 
 
+def set_device(index: int) -> int:
+    """Pin this process's default device to chip `index` (RTPU_SetDevice —
+    the analogue of RNLHandler_SetOpenCLContext's platform/device
+    selection, reference Library/RaisrHandler.h:42-46). Explicitly-sharded
+    paths (engine shard=) manage placement themselves; this pins the
+    single-device path for one-process-per-chip deployments."""
+    try:
+        import jax
+
+        devices = jax.devices()
+        if not 0 <= index < len(devices):
+            print(f"[RAISR ERROR] device index {index} out of range "
+                  f"(have {len(devices)})")
+            return 1
+        jax.config.update("jax_default_device", devices[index])
+        return 0
+    except Exception as e:  # noqa: BLE001 — C boundary: report, don't raise
+        print(f"[RAISR ERROR] set_device failed: {e}")
+        return 3
+
+
 def init(model_path: str, ratio: float, bit_depth: int, range_type: int,
          passes: int, two_pass_mode: int, tier: int = 0) -> int:
     """tier: 0 = f32-grade, 1 = bf16 fast tier, 2 = int8-pair fixed-point

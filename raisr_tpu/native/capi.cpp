@@ -21,6 +21,7 @@ namespace {
 std::mutex g_mutex;
 bool g_we_initialized_python = false;
 PyObject* g_bridge = nullptr;
+int g_device = -1;  // RTPU_SetDevice selection, applied at Init
 
 // Make the raisr_tpu package importable regardless of how the host process
 // was launched: try $RAISR_TPU_PYTHONPATH and the source tree the shared
@@ -110,6 +111,15 @@ RTPUStatus RTPU_InitEx(const char* model_path, float ratio,
   std::lock_guard<std::mutex> lock(g_mutex);
   if (!ensure_python()) return RTPU_ERROR_UNDEFINED;
   PyGILState_STATE gil = PyGILState_Ensure();
+  if (g_device >= 0) {
+    PyObject* d =
+        PyObject_CallMethod(g_bridge, "set_device", "i", g_device);
+    RTPUStatus ds = call_int(d);
+    if (ds != RTPU_OK) {
+      PyGILState_Release(gil);
+      return ds;
+    }
+  }
   PyObject* r = PyObject_CallMethod(g_bridge, "init", "sfiiiii", model_path,
                                     (double)ratio, (int)bit_depth, (int)range,
                                     (int)passes, (int)two_pass_mode,
@@ -117,6 +127,15 @@ RTPUStatus RTPU_InitEx(const char* model_path, float ratio,
   RTPUStatus status = call_int(r);
   PyGILState_Release(gil);
   return status;
+}
+
+RTPUStatus RTPU_SetDevice(int device_index) {
+  /* Stored and applied at Init: the embedded interpreter (and JAX's device
+   * enumeration) may not exist yet when the host calls this. */
+  std::lock_guard<std::mutex> lock(g_mutex);
+  if (device_index < 0) return RTPU_ERROR_BAD_PARAMETER;
+  g_device = device_index;
+  return RTPU_OK;
 }
 
 RTPUStatus RTPU_Init(const char* model_path, float ratio,

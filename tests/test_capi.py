@@ -135,3 +135,13 @@ def test_ffmpeg_filter_compiles_against_avutil():
     if r.returncode == 77:
         pytest.skip("libavutil-dev headers not installed")
     assert r.returncode == 0, r.stdout + r.stderr
+
+
+def test_bridge_set_device():
+    """RTPU_SetDevice analogue: valid index pins the default device,
+    out-of-range reports [RAISR ERROR] and returns nonzero."""
+    import jax
+
+    assert capi_bridge.set_device(0) == 0
+    assert jax.config.jax_default_device == jax.devices()[0]
+    assert capi_bridge.set_device(10_000) != 0
