@@ -69,6 +69,14 @@ POSITIVE_EXTRA = [
      ["--batch", "4", "--shard", "data=2"]),
     (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 1, 1, 2,
      ["--batch", "2", "--shard", "data=2,rows=2"]),
+    # round-3 late: the 10-bit p_split fast tier, the int8-pair tier, and
+    # the fast tier on single-phase (1.5x) banks
+    (f"{REF}/filters_2x/filters_highres", 2.0, 10, 2, 1, 2,
+     ["--dtype", "bfloat16"]),
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 1, 1, 2,
+     ["--dtype", "int8"]),
+    (f"{REF}/filters_1.5x/filters_highres", 1.5, 8, 1, 1, 2,
+     ["--dtype", "bfloat16"]),
 ]
 
 NEGATIVE_ARGS = [
@@ -78,6 +86,10 @@ NEGATIVE_ARGS = [
     (["--mode", "-1"], "mode=-1"),
     (["--passes", "3"], "passes=3"),
     (["--filterfolder", "/nonexistent/folder"], "missing filterfolder"),
+    (["--dtype", "int8", "--bits", "10"], "int8 at 10-bit"),
+    (["--dtype", "int8", "--ratio", "1.5",
+      "--filterfolder", f"{REF}/filters_1.5x/filters_highres"],
+     "int8 off ratio 2"),
 ]
 
 
