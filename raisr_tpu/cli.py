@@ -315,18 +315,30 @@ def cmd_train(args) -> int:
     # here ships with a measured quality story)
     holdout = []
 
-    def train_pairs():
+    def train_pairs(collect_holdout=True):
         for i, (lr, hr) in enumerate(pairs()):
             if args.eval_holdout and i % args.eval_holdout == args.eval_holdout - 1:
-                holdout.append((lr, hr))
+                if collect_holdout:
+                    holdout.append((lr, hr))
             else:
                 yield lr, hr
 
     bank = train_filterbank(train_pairs(), tcfg)
+    banks = [bank]
+    if args.passes == 2:
+        # second-pass (sharpening) bank on the pass-1 quantized output —
+        # the role of the reference's shipped filterbin_*_2 files
+        from raisr_tpu.train.trainer import train_filterbank_pass2
+
+        print("training second-pass bank on pass-1 inference output ...")
+        banks.append(
+            train_filterbank_pass2(train_pairs(collect_holdout=False),
+                                   tcfg, bank)
+        )
     save_filter_folder(
-        args.output, [bank], bits=args.bits,
+        args.output, banks, bits=args.bits,
         notes=f"trained by raisr_tpu from {len(args.inputs)} source(s); "
-              f"2x box-downscale degradation; "
+              f"2x box-downscale degradation; passes={args.passes}; "
               f"augment_symmetry={args.augment}",
     )
     print(f"wrote filter bank to {args.output}")
@@ -337,7 +349,8 @@ def cmd_train(args) -> int:
         peak = float(hi)
 
         def eval_bank(folder):
-            cfg = RaisrConfig(filterfolder=folder, bits=args.bits)
+            cfg = RaisrConfig(filterfolder=folder, bits=args.bits,
+                              passes=args.passes)
             eng = RaisrEngine(cfg)
             vals = []
             for lr, hr in holdout:
@@ -422,6 +435,10 @@ def main(argv=None) -> int:
     p_tr.add_argument("-i", "--inputs", nargs="+", required=True,
                       help="HR sources: .y4m/.png/... (LR = 2x box downscale)")
     p_tr.add_argument("--bits", type=int, default=8, choices=[8, 10, 16])
+    p_tr.add_argument("--passes", type=int, default=1, choices=[1, 2],
+                      help="2: also train a second-pass (sharpening) bank "
+                           "on the pass-1 inference output (two-pass "
+                           "mode-1 semantics)")
     p_tr.add_argument("--frames", type=int, default=0,
                       help="max frames per video source (0=all)")
     p_tr.add_argument("--augment", action="store_true",

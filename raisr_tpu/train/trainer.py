@@ -215,6 +215,56 @@ def train_filterbank(
     )
 
 
+def train_filterbank_pass2(
+    pairs: Iterable[tuple[np.ndarray, np.ndarray]],
+    cfg: TrainConfig,
+    bank1: FilterBank,
+) -> FilterBank:
+    """Train a SECOND-pass (sharpening) bank on top of a trained pass-1
+    bank — the role of the reference's shipped `filterbin_*_2` files.
+
+    Two-pass mode 1 semantics (reference Raisr.cpp second-pass flow): the
+    pass-2 input is the first pass's full inference output — filtered,
+    census-blended, and integer-quantized — at HR scale; the target is the
+    original HR. Training on the true quantized intermediate (not the raw
+    filter output) makes the pass-2 normal equations see exactly the
+    distribution pass 2 sees at inference."""
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import RaisrModel
+    from raisr_tpu.ops.pipeline import pass_statics, process_plane_y
+
+    model1 = RaisrModel(
+        qangle=cfg.qangle, qstrength=cfg.qstrength,
+        qcoherence=cfg.qcoherence, patch_size=cfg.patch_size,
+        banks=(bank1,),
+    )
+    rcfg = RaisrConfig(bits=cfg.bits, ratio=cfg.ratio, passes=1)
+    statics = pass_statics(rcfg, model1, "taps")
+    filters = (jnp.asarray(bank1.filters),)
+    qstr = (jnp.asarray(bank1.qstr),)
+    qcoh = (jnp.asarray(bank1.qcoh),)
+
+    q, v = init_accumulators(cfg)
+    for lr, hr in pairs:
+        for lr_t, hr_t in _dihedral_transforms(lr, hr, cfg.augment_symmetry):
+            hr_t = jnp.asarray(hr_t, jnp.float32)
+            out_h, out_w = hr_t.shape
+            pass1 = process_plane_y(
+                jnp.asarray(lr_t, jnp.float32), filters, qstr, qcoh,
+                statics, 1, 1, out_h, out_w,
+            )
+            q, v = accumulate_pair(q, v, pass1, hr_t, cfg)
+    filters2 = solve_filters(q, v, cfg)
+    return FilterBank(
+        filters=np.asarray(filters2),
+        qstr=np.asarray(cfg.qstr, np.float32),
+        qcoh=np.asarray(cfg.qcoh, np.float32),
+        pixel_types=cfg.pixel_types,
+        taps=cfg.patch_size * cfg.patch_size,
+        source_dtype="fp32",
+    )
+
+
 def train_step_sharded(
     lr_batch: jnp.ndarray,  # [N, h, w] — N sharded over the mesh
     hr_batch: jnp.ndarray,  # [N, H, W]

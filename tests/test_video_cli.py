@@ -177,3 +177,42 @@ def test_cli_train_roundtrip(tmp_path):
         "--backend", "reference",
     ]) == 0
     assert os.path.getsize(out) > 4 * w * h
+
+
+def test_cli_train_two_pass(tmp_path):
+    """raisr train --passes 2 produces pass-1 AND pass-2 banks (the role of
+    the reference's filterbin_*_2 files) and the folder runs with
+    --passes 2; the pass-2 bank must differ from the pass-1 bank (it was
+    trained on the pass-1 inference output, not the bilinear upscale)."""
+    import numpy as np
+    from raisr_tpu.cli import main
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+
+    clip = os.path.join(str(tmp_path), "src.y4m")
+    rng = np.random.default_rng(22)
+    w, h = 64, 48
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, w * h, dtype=np.uint8).tobytes())
+            f.write(rng.integers(16, 240, 2 * (w // 2) * (h // 2),
+                                 dtype=np.uint8).tobytes())
+
+    bank = os.path.join(str(tmp_path), "bank2p")
+    assert main(["train", "-o", bank, "-i", clip, "--frames", "2",
+                 "--passes", "2"]) == 0
+    assert os.path.exists(os.path.join(bank, "filterbin_2_8"))
+    assert os.path.exists(os.path.join(bank, "filterbin_2_8_2"))
+
+    model = load_model(bank, RaisrConfig(filterfolder=bank, passes=2))
+    assert len(model.banks) == 2
+    assert not np.array_equal(model.banks[0].filters, model.banks[1].filters)
+
+    out = os.path.join(str(tmp_path), "up2.y4m")
+    assert main([
+        "upscale", "-i", clip, "-o", out, "--filterfolder", bank,
+        "--passes", "2", "--backend", "reference",
+    ]) == 0
+    assert os.path.getsize(out) > 4 * w * h
