@@ -273,7 +273,7 @@ def cmd_train(args) -> int:
     from raisr_tpu.train.export import save_filter_folder
 
     tcfg = TrainConfig(
-        bits=args.bits, lam=args.lam, chunk=args.chunk,
+        ratio=args.ratio, bits=args.bits, lam=args.lam, chunk=args.chunk,
         augment_symmetry=args.augment,
     )
 
@@ -293,22 +293,35 @@ def cmd_train(args) -> int:
 
     hi = (1 << args.bits) - 1
 
+    def box_down2(x):
+        h, w = x.shape
+        return x.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+
+    def area_down_2of3(x):
+        """Exact area resampling by 2/3 along both axes (for ratio 1.5):
+        output pixel i covers source [1.5i, 1.5i + 1.5), so each 3-sample
+        group yields 2 outputs with weights (1, 1/2)/1.5 and (1/2, 1)/1.5."""
+        def rows(v):
+            g = v.reshape(v.shape[0] // 3, 3, *v.shape[1:])
+            a = (g[:, 0] + 0.5 * g[:, 1]) / 1.5
+            b = (0.5 * g[:, 1] + g[:, 2]) / 1.5
+            return np.stack([a, b], axis=1).reshape(-1, *v.shape[1:])
+
+        return rows(rows(x.T).T)
+
     def pairs():
         n = 0
+        mod = 2 if args.ratio == 2.0 else 3
         for hr in hr_planes():
             h, w = hr.shape
-            h -= h % 2
-            w -= w % 2
-            hr = hr[:h, :w]
-            lr = np.clip(
-                np.floor(
-                    hr.reshape(h // 2, 2, w // 2, 2).astype(np.float64)
-                    .mean(axis=(1, 3)) + 0.5
-                ), 0, hi,
-            ).astype(hr.dtype)
+            h -= h % mod
+            w -= w % mod
+            hr = hr[:h, :w].astype(np.float64)
+            down = box_down2(hr) if args.ratio == 2.0 else area_down_2of3(hr)
+            lr = np.clip(np.floor(down + 0.5), 0, hi).astype(np.uint16)
             n += 1
             print(f"  accumulating frame {n} ({w}x{h})")
-            yield lr, hr
+            yield lr, hr.astype(np.uint16)
 
     # hold out frames for the post-training quality eval (reference banks
     # ship only provenance notes, filters_2x/filternotes.txt; a trained bank
@@ -350,7 +363,7 @@ def cmd_train(args) -> int:
 
         def eval_bank(folder):
             cfg = RaisrConfig(filterfolder=folder, bits=args.bits,
-                              passes=args.passes)
+                              ratio=args.ratio, passes=args.passes)
             eng = RaisrEngine(cfg)
             vals = []
             for lr, hr in holdout:
@@ -434,6 +447,10 @@ def main(argv=None) -> int:
                       help="filter folder to write (reference format)")
     p_tr.add_argument("-i", "--inputs", nargs="+", required=True,
                       help="HR sources: .y4m/.png/... (LR = 2x box downscale)")
+    p_tr.add_argument("--ratio", type=float, default=2.0, choices=[2.0, 1.5],
+                      help="upscale ratio to train for (1.5 trains a "
+                           "single-phase bank; LR = exact 2/3 area "
+                           "downscale)")
     p_tr.add_argument("--bits", type=int, default=8, choices=[8, 10, 16])
     p_tr.add_argument("--passes", type=int, default=1, choices=[1, 2],
                       help="2: also train a second-pass (sharpening) bank "

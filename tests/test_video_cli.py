@@ -216,3 +216,38 @@ def test_cli_train_two_pass(tmp_path):
         "--passes", "2", "--backend", "reference",
     ]) == 0
     assert os.path.getsize(out) > 4 * w * h
+
+
+def test_cli_train_15x(tmp_path):
+    """raisr train --ratio 1.5 mints a single-phase (216-filter) bank the
+    1.5x pipeline loads and runs — trainer parity with the reference's
+    filters_1.5x families."""
+    import numpy as np
+    from raisr_tpu.cli import main
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+
+    clip = os.path.join(str(tmp_path), "src.y4m")
+    rng = np.random.default_rng(23)
+    w, h = 64, 48
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, w * h, dtype=np.uint8).tobytes())
+            f.write(rng.integers(16, 240, 2 * (w // 2) * (h // 2),
+                                 dtype=np.uint8).tobytes())
+
+    bank = os.path.join(str(tmp_path), "bank15")
+    assert main(["train", "-o", bank, "-i", clip, "--frames", "2",
+                 "--ratio", "1.5"]) == 0
+    model = load_model(bank, RaisrConfig(filterfolder=bank, ratio=1.5))
+    assert model.banks[0].filters.shape[0] == 216  # single-phase bank
+    assert model.banks[0].pixel_types == 1
+
+    out = os.path.join(str(tmp_path), "up15.y4m")
+    assert main([
+        "upscale", "-i", clip, "-o", out, "--filterfolder", bank,
+        "--ratio", "1.5", "--backend", "reference",
+    ]) == 0
+    assert os.path.getsize(out) > int(w * 1.5) * int(h * 1.5)
