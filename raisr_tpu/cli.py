@@ -336,7 +336,26 @@ def cmd_train(args) -> int:
             else:
                 yield lr, hr
 
-    bank = train_filterbank(train_pairs(), tcfg)
+    if args.ct_refine:
+        # CT-blend-aware weighted least squares (train.trainer
+        # accumulate_pair_ct): two sweeps — plain seed bank, then weighted
+        # re-solve. Only the first sweep collects the eval holdout.
+        from raisr_tpu.train import train_filterbank_ct
+
+        sweeps = {"n": 0}
+
+        def pairs_factory():
+            first = sweeps["n"] == 0
+            sweeps["n"] += 1
+            if not first:
+                print("CT-refine sweep: re-accumulating blend-weighted "
+                      "normal equations ...")
+            return train_pairs(collect_holdout=first)
+
+        bank = train_filterbank_ct(pairs_factory, tcfg,
+                                   blending=args.blending)
+    else:
+        bank = train_filterbank(train_pairs(), tcfg)
     banks = [bank]
     if args.passes == 2:
         # second-pass (sharpening) bank on the pass-1 quantized output —
@@ -352,7 +371,7 @@ def cmd_train(args) -> int:
         args.output, banks, bits=args.bits,
         notes=f"trained by raisr_tpu from {len(args.inputs)} source(s); "
               f"2x box-downscale degradation; passes={args.passes}; "
-              f"augment_symmetry={args.augment}",
+              f"augment_symmetry={args.augment}; ct_refine={args.ct_refine}",
     )
     print(f"wrote filter bank to {args.output}")
 
@@ -467,6 +486,14 @@ def main(argv=None) -> int:
                       help="hold out every Nth frame from training and "
                            "report hold-out PSNR of the trained bank "
                            "(0 disables)")
+    p_tr.add_argument("--ct-refine", action="store_true",
+                      help="CT-blend-aware weighted least squares: after a "
+                           "plain sweep, re-solve with each pixel weighted "
+                           "by its census-blend filter share (optimizes the "
+                           "blended output the user actually sees)")
+    p_tr.add_argument("--blending", type=int, default=2, choices=[1, 2],
+                      help="blend mode the --ct-refine weights model "
+                           "(1=Randomness, 2=CountOfBitsChanged)")
     p_tr.add_argument("--eval-against", default=None, metavar="FOLDER",
                       help="also report hold-out PSNR of this existing "
                            "filter folder for comparison")

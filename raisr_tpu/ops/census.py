@@ -34,18 +34,28 @@ def census_count(img: jnp.ndarray) -> jnp.ndarray:
     return count
 
 
-def blend_randomness(lr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
-    """weight*HR + (1-weight)*LR with weight = LR census count / 8."""
-    weight = census_count(lr) / CT_NUM_OF_PIXEL
-    return weight * hr + (1.0 - weight) * lr
+def randomness_weight(lr: jnp.ndarray) -> jnp.ndarray:
+    """Randomness blend weight w (out = w*HR + (1-w)*LR); depends on LR only."""
+    return census_count(lr) / CT_NUM_OF_PIXEL
 
 
-def blend_count_of_bits_changed(lr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
-    """weight*LR + (1-weight)*HR with weight = census Hamming distance / 8."""
+def cobc_weight(lr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+    """CountOfBitsChanged blend weight w (out = w*LR + (1-w)*HR)."""
     hamming = jnp.zeros(lr.shape, dtype=jnp.float32)
     for di, dj in _NEIGHBORS:
         bit_lr = _shift(lr, di, dj) < lr
         bit_hr = _shift(hr, di, dj) < hr
         hamming = hamming + (bit_lr != bit_hr).astype(jnp.float32)
-    weight = hamming / CT_NUM_OF_PIXEL
+    return hamming / CT_NUM_OF_PIXEL
+
+
+def blend_randomness(lr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+    """weight*HR + (1-weight)*LR with weight = LR census count / 8."""
+    weight = randomness_weight(lr)
+    return weight * hr + (1.0 - weight) * lr
+
+
+def blend_count_of_bits_changed(lr: jnp.ndarray, hr: jnp.ndarray) -> jnp.ndarray:
+    """weight*LR + (1-weight)*HR with weight = census Hamming distance / 8."""
+    weight = cobc_weight(lr, hr)
     return weight * lr + (1.0 - weight) * hr

@@ -3,6 +3,7 @@ from raisr_tpu.train.trainer import (
     accumulate_pair,
     solve_filters,
     train_filterbank,
+    train_filterbank_ct,
     train_step_sharded,
 )
 from raisr_tpu.train.export import save_filter_folder
@@ -12,6 +13,7 @@ __all__ = [
     "accumulate_pair",
     "solve_filters",
     "train_filterbank",
+    "train_filterbank_ct",
     "train_step_sharded",
     "save_filter_folder",
 ]

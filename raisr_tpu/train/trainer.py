@@ -59,6 +59,17 @@ class TrainConfig:
     def pixel_types(self) -> int:
         return int(self.ratio) * int(self.ratio)
 
+    # full-range reject bounds for the CT-aware refinement's provisional
+    # inference (training content is full-range; the weight map is barely
+    # sensitive to these — they only gate the rare out-of-range reject)
+    @property
+    def min_val(self) -> int:
+        return 0
+
+    @property
+    def max_val(self) -> int:
+        return (1 << self.bits) - 1
+
     @property
     def num_buckets(self) -> int:
         return self.qangle * self.qstrength * self.qcoherence
@@ -101,19 +112,10 @@ def _patches_and_labels(cheap: jnp.ndarray, hr: jnp.ndarray, cfg: TrainConfig):
     return patches, idx[core].reshape(-1), labels
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def accumulate_pair(
-    q: jnp.ndarray,  # [num_filters, 121, 121] f32
-    v: jnp.ndarray,  # [num_filters, 121] f32
-    cheap: jnp.ndarray,  # [H, W] integer-valued f32 (cheap-upscaled LR)
-    hr: jnp.ndarray,  # [H, W] integer-valued f32 (ground truth)
-    cfg: TrainConfig,
-):
-    """Add one image pair's normal-equation contributions to (Q, V)."""
-    patches, idx, labels = _patches_and_labels(cheap, hr, cfg)
+def _accumulate_chunked(q, v, patches, labels, idx, nf: int, c: int):
+    """Chunked one-hot MXU scatter of per-row normal-equation contributions:
+    Q[b] += sum_{n: idx_n=b} p_n p_n^T, V[b] += sum y_n p_n."""
     n = patches.shape[0]
-    nf = cfg.num_filters
-    c = cfg.chunk
     n_chunks = -(-n // c)
     pad = n_chunks * c - n
     patches = jnp.pad(patches, ((0, pad), (0, 0)))
@@ -138,8 +140,79 @@ def accumulate_pair(
         ).reshape(q.shape)
         return q, v
 
-    q, v = lax.fori_loop(0, n_chunks, body, (q, v))
-    return q, v
+    return lax.fori_loop(0, n_chunks, body, (q, v))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def accumulate_pair(
+    q: jnp.ndarray,  # [num_filters, 121, 121] f32
+    v: jnp.ndarray,  # [num_filters, 121] f32
+    cheap: jnp.ndarray,  # [H, W] integer-valued f32 (cheap-upscaled LR)
+    hr: jnp.ndarray,  # [H, W] integer-valued f32 (ground truth)
+    cfg: TrainConfig,
+):
+    """Add one image pair's normal-equation contributions to (Q, V)."""
+    patches, idx, labels = _patches_and_labels(cheap, hr, cfg)
+    return _accumulate_chunked(q, v, patches, labels, idx, cfg.num_filters,
+                               cfg.chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "blending"))
+def accumulate_pair_ct(
+    q: jnp.ndarray,
+    v: jnp.ndarray,
+    cheap: jnp.ndarray,  # [H, W] integer-valued f32 (cheap-upscaled LR)
+    hr: jnp.ndarray,  # [H, W] integer-valued f32 (ground truth)
+    filters: jnp.ndarray,  # [num_filters, >=121] provisional bank (pass 1 of
+    #                        the fixed point; defines the blend weights)
+    cfg: TrainConfig,
+    blending: int,  # 1 = Randomness, 2 = CountOfBitsChanged
+):
+    """CT-blend-aware weighted accumulation.
+
+    At inference the filter only reaches the output through the census
+    blend: out = s*filtered + (1-s)*cheap, with s = w for Randomness
+    (Raisr.cpp:1222-1232) and s = 1-w for CountOfBitsChanged
+    (Raisr.cpp:712-748). Plain RAISR least squares ignores s and spends
+    filter capacity on pixels the blend then discards. Minimizing the true
+    blended error sum (y - (1-s) c - s p^T f)^2 instead is a weighted least
+    squares: rows scale by s, labels become y - (1-s) c — so Q[b] += s^2 p
+    p^T and V[b] += s (y - (1-s) c) p, which _accumulate_chunked computes
+    verbatim from (s*p, y-tilde).
+
+    For CountOfBitsChanged s depends on the filtered image itself (census
+    Hamming distance), so callers pass a provisional bank trained plain and
+    this runs one fixed-point refinement — the reject + census here mirror
+    ops/pipeline._finish_pass exactly.
+    """
+    from raisr_tpu.ops import census
+
+    patches, idx, labels = _patches_and_labels(cheap, hr, cfg)
+    m = cfg.patch_size // 2
+    lm = m + 1
+    h, w = cheap.shape
+    core = (slice(lm, h - lm), slice(lm, w - lm))
+    c_vals = patches[:, m * cfg.patch_size + m]  # cheap at the output pixel
+
+    # provisional filtered plane (borders stay cheap, as at inference) with
+    # the out-of-range reject of _finish_pass (exclusive compare)
+    raw = jnp.sum(patches * filters[idx, : patches.shape[1]], axis=1)
+    keep = (raw > float(cfg.min_val)) & (raw < float(cfg.max_val))
+    raisr_vals = jnp.where(keep, raw, c_vals)
+    plane = cheap.at[core].set(raisr_vals.reshape(h - 2 * lm, w - 2 * lm))
+
+    if blending == 1:
+        s = census.randomness_weight(cheap)
+    else:
+        s = 1.0 - census.cobc_weight(cheap, plane)
+    s_core = s[core].reshape(-1)
+
+    return _accumulate_chunked(
+        q, v,
+        patches * s_core[:, None],
+        labels - (1.0 - s_core) * c_vals,
+        idx, cfg.num_filters, cfg.chunk,
+    )
 
 
 def init_accumulators(cfg: TrainConfig):
@@ -204,6 +277,40 @@ def train_filterbank(
                 jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits
             )
             q, v = accumulate_pair(q, v, cheap, hr_t, cfg)
+    filters = solve_filters(q, v, cfg)
+    return FilterBank(
+        filters=np.asarray(filters),
+        qstr=np.asarray(cfg.qstr, np.float32),
+        qcoh=np.asarray(cfg.qcoh, np.float32),
+        pixel_types=cfg.pixel_types,
+        taps=cfg.patch_size * cfg.patch_size,
+        source_dtype="fp32",
+    )
+
+
+def train_filterbank_ct(
+    pairs_factory,  # () -> Iterable[(lr, hr)]; called twice (two sweeps)
+    cfg: TrainConfig,
+    blending: int = 2,
+) -> FilterBank:
+    """Train a CT-blend-aware bank (see accumulate_pair_ct).
+
+    Sweep 1 trains a plain bank (the fixed-point seed that defines the
+    CountOfBitsChanged weights); sweep 2 re-accumulates the normal equations
+    weighted by each pixel's effective blend scale and re-solves. For
+    Randomness blending the weights don't depend on the bank, but the
+    two-sweep shape is kept so both modes share one code path."""
+    bank0 = train_filterbank(pairs_factory(), cfg)
+    f0 = jnp.asarray(bank0.filters)
+    q, v = init_accumulators(cfg)
+    for lr, hr in pairs_factory():
+        for lr_t, hr_t in _dihedral_transforms(lr, hr, cfg.augment_symmetry):
+            hr_t = jnp.asarray(hr_t, jnp.float32)
+            out_h, out_w = hr_t.shape
+            cheap = cheap_upscale(
+                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits
+            )
+            q, v = accumulate_pair_ct(q, v, cheap, hr_t, f0, cfg, blending)
     filters = solve_filters(q, v, cfg)
     return FilterBank(
         filters=np.asarray(filters),

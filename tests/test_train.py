@@ -146,6 +146,129 @@ class TestSymmetryAugmentation:
         assert len(flat) == 8
 
 
+class TestCTRefine:
+    """CT-blend-aware weighted least squares (train_filterbank_ct)."""
+
+    def _cfg(self):
+        return TrainConfig(lam=1e-3, chunk=512)
+
+    def test_identity_bank_cobc_weights_reduce_to_plain(self):
+        """With an identity provisional bank the CoBC filtered plane equals
+        the cheap plane, so every blend weight is s=1 and the weighted
+        accumulation must equal the plain one exactly."""
+        from raisr_tpu.train.trainer import (
+            accumulate_pair,
+            accumulate_pair_ct,
+            init_accumulators,
+        )
+
+        cfg = self._cfg()
+        lr, hr = _pairs(1, seed=11)[0]
+        cheap = cheap_upscale(jnp.asarray(lr), *hr.shape, 8)
+        identity = np.zeros((cfg.num_filters, 128), np.float32)
+        identity[:, 60] = 1.0  # center tap (5,5) of the 11x11 patch
+
+        q0, v0 = init_accumulators(cfg)
+        q_plain, v_plain = accumulate_pair(q0, v0, cheap, jnp.asarray(hr), cfg)
+        q_ct, v_ct = accumulate_pair_ct(
+            q0, v0, cheap, jnp.asarray(hr), jnp.asarray(identity), cfg, 2
+        )
+        np.testing.assert_allclose(np.asarray(q_ct), np.asarray(q_plain),
+                                   rtol=1e-6, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(v_ct), np.asarray(v_plain),
+                                   rtol=1e-6, atol=1e-4)
+
+    def test_randomness_weights_match_oracle(self):
+        """blending=1 weights are bank-independent: Q/V must equal the
+        explicit numpy weighted normal equations."""
+        from raisr_tpu.ops.census import randomness_weight
+        from raisr_tpu.train.trainer import (
+            _patches_and_labels,
+            accumulate_pair_ct,
+            init_accumulators,
+        )
+
+        cfg = self._cfg()
+        lr, hr = _pairs(1, seed=12)[0]
+        cheap = cheap_upscale(jnp.asarray(lr), *hr.shape, 8)
+        identity = np.zeros((cfg.num_filters, 128), np.float32)
+        identity[:, 60] = 1.0
+
+        patches, idx, labels = _patches_and_labels(cheap, jnp.asarray(hr), cfg)
+        patches, idx, labels = map(np.asarray, (patches, idx, labels))
+        s = np.asarray(randomness_weight(cheap))[6:-6, 6:-6].reshape(-1)
+        c_vals = patches[:, 60]
+
+        nf = cfg.num_filters
+        q_exp = np.zeros((nf, 121, 121), np.float64)
+        v_exp = np.zeros((nf, 121), np.float64)
+        for n in range(patches.shape[0]):
+            p = s[n] * patches[n]
+            q_exp[idx[n]] += np.outer(p, p)
+            v_exp[idx[n]] += (labels[n] - (1 - s[n]) * c_vals[n]) * p
+
+        q0, v0 = init_accumulators(cfg)
+        q_ct, v_ct = accumulate_pair_ct(
+            q0, v0, cheap, jnp.asarray(hr), jnp.asarray(identity), cfg, 1
+        )
+        hit = np.unique(idx)
+        np.testing.assert_allclose(np.asarray(q_ct)[hit], q_exp[hit],
+                                   rtol=1e-4, atol=0.5)
+        np.testing.assert_allclose(np.asarray(v_ct)[hit], v_exp[hit],
+                                   rtol=1e-4, atol=0.5)
+
+    def test_ct_refined_bank_improves_blended_error(self):
+        """On content where the census blend is active (sharp edges + noise),
+        the CT-refined bank must not lose to the plain bank on the true
+        blended objective, measured through the real inference path."""
+        from raisr_tpu.model.loader import RaisrModel
+        from raisr_tpu.ops.pipeline import pass_statics, raisr_pass
+        from raisr_tpu.train import train_filterbank_ct
+
+        rng = np.random.default_rng(7)
+        pairs = []
+        for i in range(3):
+            h, w = 48, 64
+            x, y = np.meshgrid(np.arange(w * 2), np.arange(h * 2))
+            hr = (
+                90 + 90 * ((x // 9 + y // 7 + i) % 2)
+                + rng.normal(0, 9, (h * 2, w * 2))
+            )
+            hr = np.clip(np.floor(hr + 0.5), 0, 255)
+            lr = hr.reshape(h, 2, w, 2).mean(axis=(1, 3))
+            lr = np.clip(np.floor(lr + 0.5), 0, 255).astype(np.float32)
+            pairs.append((lr, hr.astype(np.float32)))
+
+        cfg = self._cfg()
+        plain = train_filterbank(pairs, cfg)
+        refined = train_filterbank_ct(lambda: iter(pairs), cfg, blending=2)
+        assert not np.array_equal(plain.filters, refined.filters)
+
+        from raisr_tpu.config import RangeType
+
+        rcfg = RaisrConfig(filterfolder="unused", passes=1, blending=2,
+                           range=RangeType.FULL)
+
+        def blended_mse(bank):
+            model = RaisrModel(qangle=24, qstrength=3, qcoherence=3,
+                               patch_size=11, banks=[bank])
+            s = pass_statics(rcfg, model, "taps")
+            args = (jnp.asarray(bank.filters), jnp.asarray(bank.qstr),
+                    jnp.asarray(bank.qcoh))
+            total = 0.0
+            for lr, hr in pairs:
+                out = np.asarray(raisr_pass(
+                    cheap_upscale(jnp.asarray(lr), *hr.shape, 8),
+                    *args, s, 0))
+                core = np.s_[8:-8, 8:-8]
+                total += float(np.mean((out[core] - hr[core]) ** 2))
+            return total / len(pairs)
+
+        mse_plain = blended_mse(plain)
+        mse_refined = blended_mse(refined)
+        assert mse_refined <= mse_plain * 1.002, (mse_plain, mse_refined)
+
+
 class TestBatchedEngine:
     def test_process_batch_matches_per_frame(self):
         from raisr_tpu.engine import RaisrEngine
