@@ -70,6 +70,50 @@ def bench(name, cfg):
     )
 
 
+def bench_full_yuv(name, cfg):
+    """Full 4:2:0 frame (Y RAISR + both chroma cheap upscales) — the
+    reference's per-frame unit of work (RNLProcess handles Y segments and
+    UV IPP resize per frame, Raisr.cpp:1361-1396)."""
+    if ONLY and ONLY not in name:
+        return
+    eng = RaisrEngine(cfg)
+    salt = float(time.time_ns() % 100003) / 1000.0
+    rng = np.random.default_rng(0)
+    base_y = np.clip(
+        rng.integers(16, 235, (N, H, W)).astype(np.float32) + salt, 0, 235
+    )
+    base_uv = np.clip(
+        rng.integers(16, 240, (2 * N, H // 2, W // 2)).astype(np.float32)
+        + salt, 0, 240,
+    )
+
+    def run(y, uv):
+        return fence(eng.process_batch_y(y)) + fence(eng.process_batch_uv(uv))
+
+    def measure(n):
+        y = jnp.asarray(base_y[:n])
+        uv = jnp.asarray(base_uv[: 2 * n])
+        run(y, uv)
+        times = []
+        for rep in range(5):
+            fy = y + float(rep + 1) * 0.125
+            fuv = uv + float(rep + 1) * 0.125
+            fence(fy), fence(fuv)
+            t0 = time.perf_counter()
+            run(fy, fuv)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    n_small = max(2, N // 4)
+    t_small = measure(n_small)
+    t_big = measure(N)
+    per = (t_big - t_small) / (N - n_small)
+    print(
+        f"{name}: {1000 * per:.2f} ms/frame ({1 / per:.1f} fps; "
+        f"slope {n_small}->{N}, raw {1000 * t_small:.0f}/{1000 * t_big:.0f} ms)"
+    )
+
+
 bench("8-bit  f32-grade 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 bench("8-bit  bf16-tier 2-pass",
@@ -88,3 +132,8 @@ bench("10-bit f32-grade 1-pass",
 bench("1.5x   f32-grade 1-pass",
       RaisrConfig(filterfolder=FOLDER15, ratio=1.5, passes=1,
                   backend="pallas"))
+bench_full_yuv("fullYUV420 bf16-tier 2-pass",
+               RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
+                           dtype="bfloat16"))
+bench_full_yuv("fullYUV420 f32-grade 2-pass",
+               RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
