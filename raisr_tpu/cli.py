@@ -62,6 +62,12 @@ def _add_common(p: argparse.ArgumentParser):
                         "runs the filter matmul as fixed-point hi/lo int8 "
                         "pairs on the MXU's double-rate int8 path — "
                         "quality between bfloat16 and float32")
+    p.add_argument("--resize-mode", default="bilinear",
+                   choices=["bilinear", "cubic", "lanczos"],
+                   help="cheap-upscale resampler (the reference's "
+                        "USE_BICUBIC/USE_LANCZOS compile options as a "
+                        "runtime knob; cubic is B=0 C=0.75, lanczos is "
+                        "3-lobe)")
 
 
 def _cfg(args) -> RaisrConfig:
@@ -76,6 +82,7 @@ def _cfg(args) -> RaisrConfig:
         evenoutput=args.evenoutput,
         backend=Backend(args.backend),
         dtype=args.dtype,
+        resize_mode=args.resize_mode,
     )
 
 
@@ -274,7 +281,7 @@ def cmd_train(args) -> int:
 
     tcfg = TrainConfig(
         ratio=args.ratio, bits=args.bits, lam=args.lam, chunk=args.chunk,
-        augment_symmetry=args.augment,
+        augment_symmetry=args.augment, resize_mode=args.resize_mode,
     )
 
     def hr_planes():
@@ -382,7 +389,8 @@ def cmd_train(args) -> int:
 
         def eval_bank(folder):
             cfg = RaisrConfig(filterfolder=folder, bits=args.bits,
-                              ratio=args.ratio, passes=args.passes)
+                              ratio=args.ratio, passes=args.passes,
+                              resize_mode=args.resize_mode)
             eng = RaisrEngine(cfg)
             vals = []
             for lr, hr in holdout:
@@ -400,7 +408,8 @@ def cmd_train(args) -> int:
             import jax.numpy as jnp
 
             up = np.asarray(cheap_upscale(
-                jnp.asarray(lr.astype(np.float32)), *hr.shape, args.bits))
+                jnp.asarray(lr.astype(np.float32)), *hr.shape, args.bits,
+                mode=args.resize_mode))
             cheap_vals.append(float(psnr_fn(up, hr.astype(np.float32), peak)))
         report["bilinear_psnr_db"] = round(sum(cheap_vals) / len(cheap_vals), 3)
         if args.eval_against:
@@ -486,6 +495,10 @@ def main(argv=None) -> int:
                       help="hold out every Nth frame from training and "
                            "report hold-out PSNR of the trained bank "
                            "(0 disables)")
+    p_tr.add_argument("--resize-mode", default="bilinear",
+                      choices=["bilinear", "cubic", "lanczos"],
+                      help="cheap upscaler the bank is trained against "
+                           "(must match the inference --resize-mode)")
     p_tr.add_argument("--ct-refine", action="store_true",
                       help="CT-blend-aware weighted least squares: after a "
                            "plain sweep, re-solve with each pixel weighted "

@@ -102,6 +102,12 @@ class RaisrConfig:
     # (processed cols end at 6 + 8*floor((W-12)/8), Raisr.cpp:1066,1247-1250)
     # exactly. False processes the full [6, W-6) range (cleaner, >= quality).
     exact_edges: bool = True
+    # Cheap-upscale resampler. The reference compile-selects these
+    # (USE_BICUBIC = IPP cubic B=0 C=0.75, USE_LANCZOS = 3-lobe,
+    # Raisr_globals.h:63-81, Raisr.cpp:458-478); here it's a runtime knob.
+    # bilinear is the reference default and the only mode with a fused
+    # batched-stack / row-sharded formulation.
+    resize_mode: str = "bilinear"
 
     def __post_init__(self):
         # Mirrors RNLInit's validation (Raisr.cpp:1429-1474).
@@ -119,6 +125,10 @@ class RaisrConfig:
             raise RaisrError(f"dtype: {self.dtype} is NOT supported.")
         if self.dtype == "int8" and self.bits != 8:
             raise RaisrError("dtype int8 requires 8-bit content.")
+        if self.resize_mode not in ("bilinear", "cubic", "lanczos"):
+            raise RaisrError(
+                f"resize mode: {self.resize_mode} is NOT supported."
+            )
         if self.dtype == "int8" and self.ratio != 2.0:
             # the int8-pair matmul is implemented in the 4-phase (ratio-2)
             # kernel only; refuse rather than silently run another tier

@@ -117,6 +117,13 @@ class RaisrEngine:
         self._mesh = None
         n_chips = self._shard["data"] * self._shard["rows"]
         if n_chips > 1:
+            if cfg.resize_mode != "bilinear":
+                # the row-stripe halo resize and the DP stacked path are
+                # built on the bilinear support/weight structure only
+                raise RaisrError(
+                    "[RAISR ERROR] sharding supports resize_mode=bilinear "
+                    f"only (got {cfg.resize_mode})."
+                )
             if n_chips > len(jax.devices()):
                 raise RaisrError(
                     f"[RAISR ERROR] shard spec {self._shard} needs {n_chips} "
@@ -167,7 +174,8 @@ class RaisrEngine:
     def upscale_uv(self, plane: jnp.ndarray) -> jnp.ndarray:
         h, w = plane.shape
         out_h, out_w = self.cfg.output_size(h, w)
-        return process_plane_uv(plane, out_h, out_w, self.cfg.bits)
+        return process_plane_uv(plane, out_h, out_w, self.cfg.bits,
+                                self.cfg.resize_mode)
 
     # -- frame API -----------------------------------------------------------
 
@@ -238,4 +246,5 @@ class RaisrEngine:
         """Batched chroma cheap upscale ([N, H, W] in)."""
         n, h, w = batch_uv.shape
         out_h, out_w = self.cfg.output_size(h, w)
-        return process_plane_uv_batch(batch_uv, out_h, out_w, self.cfg.bits)
+        return process_plane_uv_batch(batch_uv, out_h, out_w, self.cfg.bits,
+                                      self.cfg.resize_mode)

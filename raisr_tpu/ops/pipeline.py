@@ -66,6 +66,9 @@ class PassStatics:
     # int8-pair fixed-point tier (8-bit content): hi/lo int8 filters on the
     # MXU's 2x int8 path, exact shifted-int8 patches (full_kernel.py i8)
     i8: bool = False
+    # cheap-upscale resampler (RaisrConfig.resize_mode); non-bilinear modes
+    # use the per-frame vmap batch fallback (no stacked formulation)
+    resize_mode: str = "bilinear"
 
     @property
     def patch_margin(self) -> int:
@@ -325,6 +328,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         bank_edges=bank_edges,
         p_split=p_split,
         i8=i8,
+        resize_mode=cfg.resize_mode,
     )
 
 
@@ -356,7 +360,8 @@ def process_plane_y(
     x = lr.astype(jnp.float32)
     for pass_idx in range(passes):
         if pass_idx + 1 == two_pass_mode:
-            cheap = cheap_upscale(x, out_h, out_w, statics.bits)
+            cheap = cheap_upscale(x, out_h, out_w, statics.bits,
+                                  mode=statics.resize_mode)
         else:
             cheap = x
         x = raisr_pass(
@@ -408,6 +413,10 @@ def process_plane_y_batch(
         s.backend == "pallas"
         and bool(s.bank_edges)
         and (s.use_pixel_type or s.pixel_types == 1)
+        # only the bilinear resize has a per-frame-exact stacked form (its
+        # 6-row guard covers the support; cubic/lanczos widen it and have
+        # no tiled weight-vector formulation)
+        and s.resize_mode == "bilinear"
         # per-frame stacking must scale exactly: guard and period integral
         # after upscale (true for 2x always; 1.5x with even h and pad)
         and (out_h * lr_pad) % h == 0
@@ -457,23 +466,28 @@ def process_plane_y_batch(
     return x[:, cur_pad : cur_pad + cur_fh, :]
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits"))
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits", "mode"))
 def process_plane_uv(
-    lr: jnp.ndarray, out_h: int, out_w: int, bits: int
+    lr: jnp.ndarray, out_h: int, out_w: int, bits: int,
+    mode: str = "bilinear",
 ) -> jnp.ndarray:
     """Chroma planes only get the cheap upscale (Raisr.cpp:1373-1388)."""
-    return cheap_upscale(lr.astype(jnp.float32), out_h, out_w, bits)
+    return cheap_upscale(lr.astype(jnp.float32), out_h, out_w, bits, mode=mode)
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits"))
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w", "bits", "mode"))
 def process_plane_uv_batch(
-    lr: jnp.ndarray, out_h: int, out_w: int, bits: int
+    lr: jnp.ndarray, out_h: int, out_w: int, bits: int,
+    mode: str = "bilinear",
 ) -> jnp.ndarray:
     """Batched chroma cheap upscale ([N, H, W] in, [N, out_h, out_w] out)."""
     n, h, w = lr.shape
-    if out_h % h or out_h // h < 2:
-        # non-integral ratios: per-frame mapping doesn't tile a stack
-        return jax.vmap(lambda p: process_plane_uv(p, out_h, out_w, bits))(lr)
+    if out_h % h or out_h // h < 2 or mode != "bilinear":
+        # non-integral ratios (and the wider cubic/lanczos supports): the
+        # per-frame mapping doesn't tile a 2-row-guard stack
+        return jax.vmap(
+            lambda p: process_plane_uv(p, out_h, out_w, bits, mode)
+        )(lr)
     pad = 2  # resize support is 1 row; keep alignment even
     x = jnp.pad(
         lr.astype(jnp.float32), ((0, 0), (pad, pad), (0, 0)), mode="edge"

@@ -14,6 +14,11 @@ part of the algorithm and must be kept for output parity.
 
 Implemented separably with trace-time-constant index vectors so XLA lowers
 the axis gathers to cheap static ops; no per-pixel dynamic gather.
+
+The reference also compile-selects cubic (B=0, C=0.75) and 3-lobe Lanczos
+resizers (USE_BICUBIC/USE_LANCZOS, Raisr_globals.h:63-81); here they are a
+runtime knob (RaisrConfig.resize_mode) built on the same half-pixel
+mapping and border-replicate semantics.
 """
 
 from __future__ import annotations
@@ -67,9 +72,70 @@ def bilinear_upscale(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return out
 
 
-def cheap_upscale(img: jnp.ndarray, out_h: int, out_w: int, bits: int) -> jnp.ndarray:
+def _cubic_kernel(x: np.ndarray, c: float = 0.75) -> np.ndarray:
+    """Two-parameter cubic with B=0 (Mitchell-Netravali family) — the
+    reference's USE_BICUBIC configures IPP with (0, 0.75), "the value
+    OpenCV is using" (Raisr.cpp:458-473, Raisr_globals.h:67-70)."""
+    ax = np.abs(x)
+    inner = (2.0 - c) * ax**3 + (c - 3.0) * ax**2 + 1.0
+    outer = c * (-(ax**3) + 5.0 * ax**2 - 8.0 * ax + 4.0)
+    return np.where(ax <= 1.0, inner, np.where(ax < 2.0, outer, 0.0))
+
+
+def _lanczos3_kernel(x: np.ndarray) -> np.ndarray:
+    """3-lobe Lanczos — the reference's USE_LANCZOS configures IPP with
+    lobes=3 (Raisr.cpp:464,474, Raisr_globals.h:72-75)."""
+    x = np.asarray(x, np.float64)
+    out = np.sinc(x) * np.sinc(x / 3.0)
+    return np.where(np.abs(x) < 3.0, out, 0.0)
+
+
+_MODES = {"bilinear": None, "cubic": (_cubic_kernel, 2), "lanczos": (_lanczos3_kernel, 3)}
+
+
+def _axis_taps(in_size: int, out_size: int, mode: str):
+    """Static per-axis resample taps: (idx [ntaps, out] border-clipped,
+    weights [ntaps, out] normalized) for the half-pixel mapping."""
+    kern, support = _MODES[mode]
+    dst = np.arange(out_size, dtype=np.float64)
+    src = (dst + 0.5) * (in_size / out_size) - 0.5
+    lo = np.floor(src).astype(np.int64) - support + 1
+    ntaps = 2 * support
+    idx = np.stack([lo + t for t in range(ntaps)])  # [ntaps, out]
+    wgt = kern(src[None, :] - idx)
+    wgt = wgt / wgt.sum(axis=0, keepdims=True)  # partition of unity
+    idx = np.clip(idx, 0, in_size - 1)  # border replicate
+    return idx.astype(np.int32), wgt.astype(np.float32)
+
+
+def resample_upscale(
+    img: jnp.ndarray, out_h: int, out_w: int, mode: str
+) -> jnp.ndarray:
+    """Separable resize of a single plane in the selected mode (float in,
+    float out, un-rounded). Taps are trace-time constants; each axis is a
+    handful of static takes + FMAs, like the bilinear path."""
+    if mode == "bilinear":
+        return bilinear_upscale(img, out_h, out_w)
+    in_h, in_w = img.shape
+    img = img.astype(jnp.float32)
+    ridx, rw = _axis_taps(in_h, out_h, mode)
+    cidx, cw = _axis_taps(in_w, out_w, mode)
+    rows = sum(
+        jnp.take(img, jnp.asarray(ridx[t]), axis=0) * rw[t][:, None]
+        for t in range(ridx.shape[0])
+    )
+    return sum(
+        jnp.take(rows, jnp.asarray(cidx[t]), axis=1) * cw[t][None, :]
+        for t in range(cidx.shape[0])
+    )
+
+
+def cheap_upscale(
+    img: jnp.ndarray, out_h: int, out_w: int, bits: int,
+    mode: str = "bilinear",
+) -> jnp.ndarray:
     """Integer-valued cheap upscale (float32 array holding ints in [0, 2^bits-1])."""
-    out = bilinear_upscale(img, out_h, out_w)
+    out = resample_upscale(img, out_h, out_w, mode)
     max_full = float((1 << bits) - 1)
     return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)
 

@@ -54,6 +54,10 @@ class TrainConfig:
     # content are filled from unrotated sources, roughly octupling the
     # effective training set (RAISR paper sec. IV-C)
     augment_symmetry: bool = False
+    # cheap-upscale resampler the bank is trained against — must match the
+    # inference RaisrConfig.resize_mode (filters learn the residual of THIS
+    # upscaler)
+    resize_mode: str = "bilinear"
 
     @property
     def pixel_types(self) -> int:
@@ -274,7 +278,8 @@ def train_filterbank(
             hr_t = jnp.asarray(hr_t, jnp.float32)
             out_h, out_w = hr_t.shape
             cheap = cheap_upscale(
-                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits
+                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits,
+                mode=cfg.resize_mode,
             )
             q, v = accumulate_pair(q, v, cheap, hr_t, cfg)
     filters = solve_filters(q, v, cfg)
@@ -308,7 +313,8 @@ def train_filterbank_ct(
             hr_t = jnp.asarray(hr_t, jnp.float32)
             out_h, out_w = hr_t.shape
             cheap = cheap_upscale(
-                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits
+                jnp.asarray(lr_t, jnp.float32), out_h, out_w, cfg.bits,
+                mode=cfg.resize_mode,
             )
             q, v = accumulate_pair_ct(q, v, cheap, hr_t, f0, cfg, blending)
     filters = solve_filters(q, v, cfg)
@@ -391,7 +397,8 @@ def train_step_sharded(
 
         def body(i, qv):
             q, v = qv
-            cheap = cheap_upscale(lr_s[i].astype(jnp.float32), out_h, out_w, cfg.bits)
+            cheap = cheap_upscale(lr_s[i].astype(jnp.float32), out_h, out_w,
+                                  cfg.bits, mode=cfg.resize_mode)
             return accumulate_pair(q, v, cheap, hr_s[i].astype(jnp.float32), cfg)
 
         q, v = lax.fori_loop(0, lr_s.shape[0], body, (q, v))

@@ -77,6 +77,11 @@ POSITIVE_EXTRA = [
      ["--dtype", "int8"]),
     (f"{REF}/filters_1.5x/filters_highres", 1.5, 8, 1, 1, 2,
      ["--dtype", "bfloat16"]),
+    # resize-mode knob (reference USE_BICUBIC/USE_LANCZOS analogue)
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 1, 1, 2,
+     ["--resize-mode", "cubic"]),
+    (f"{REF}/filters_2x/filters_lowres", 2.0, 8, 2, 1, 2,
+     ["--resize-mode", "lanczos", "--batch", "2"]),
 ]
 
 NEGATIVE_ARGS = [
@@ -90,6 +95,8 @@ NEGATIVE_ARGS = [
     (["--dtype", "int8", "--ratio", "1.5",
       "--filterfolder", f"{REF}/filters_1.5x/filters_highres"],
      "int8 off ratio 2"),
+    (["--resize-mode", "cubic", "--shard", "data=2", "--batch", "2"],
+     "sharding requires bilinear resize"),
 ]
 
 
