@@ -56,7 +56,7 @@ def _content(bits: int, seed: int = 3) -> np.ndarray:
     scale = (1 << bits) / 256.0
     img = (60 + 80 * np.sin(x / 9.0) + 60 * (y > H // 2)
            + 40 * np.sin((x + y) / 5.0) + rng.normal(0, 6, (H, W))) * scale
-    lo, hi = (16, 235) if bits == 8 else (64, 940)
+    lo, hi = {8: (16, 235), 10: (64, 940), 16: (0, 65535)}[bits]
     dtype = np.uint8 if bits == 8 else np.uint16
     return np.clip(img, lo, hi).astype(dtype)
 
@@ -245,6 +245,45 @@ def test_10bit_within_reference_isa_envelope(tmp_path):
     p_mine_256 = _psnr(mine, ref256, 1023.0)
     assert p_mine_512 >= p_256_512 - 0.5, (p_mine_512, p_256_512)
     assert p_mine_256 >= 65.0, p_mine_256
+
+
+def test_16bit_processing_within_reference_isa_envelope(tmp_path):
+    """16-bit PROCESSING parity (beyond the bank-load round-trip of
+    tests/test_16bit.py): the reference supports bitDepth=16 but ships no
+    16-bit banks (always full range, Raisr.cpp:1462-1469), so a self-trained
+    fp32 bank runs through BOTH engines on the same content. Same envelope
+    criterion as 10-bit: at least as close to the AVX-512 output as the
+    reference's own AVX2 build is."""
+    from raisr_tpu.train import TrainConfig, save_filter_folder
+    from raisr_tpu.train.trainer import train_filterbank
+
+    rng = np.random.default_rng(4)
+    pairs = []
+    for _ in range(2):
+        x, y = np.meshgrid(np.arange(80), np.arange(64))
+        hr = np.clip(
+            20000 + 18000 * np.sin(x / 7.0) + 12000 * (y > 32)
+            + rng.normal(0, 800, (64, 80)), 0, 65535
+        ).astype(np.uint16)
+        lr = np.clip(
+            np.floor(hr.reshape(32, 2, 40, 2).mean(axis=(1, 3)) + 0.5),
+            0, 65535,
+        ).astype(np.uint16)
+        pairs.append((lr, hr))
+    bank = train_filterbank(pairs, TrainConfig(bits=16, chunk=512))
+    folder = str(tmp_path / "bank16")
+    save_filter_folder(folder, [bank], bits=16)
+
+    yp = _content(16)
+    kw = dict(folder=folder, bits=16, rng_t=2)
+    ref512 = _run_reference(str(tmp_path), yp, asm=2, **kw)
+    ref256 = _run_reference(str(tmp_path), yp, asm=1, **kw)
+    mine = _run_mine(yp, **kw)
+    p_mine_512 = _psnr(mine, ref512, 65535.0)
+    p_256_512 = _psnr(ref256, ref512, 65535.0)
+    p_mine_256 = _psnr(mine, ref256, 65535.0)
+    assert p_mine_512 >= p_256_512 - 0.5, (p_mine_512, p_256_512)
+    assert p_mine_256 >= 60.0, p_mine_256
 
 
 def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
