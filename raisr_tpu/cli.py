@@ -390,6 +390,7 @@ def cmd_train(args) -> int:
         def eval_bank(folder):
             cfg = RaisrConfig(filterfolder=folder, bits=args.bits,
                               ratio=args.ratio, passes=args.passes,
+                              blending=BlendingMode(args.blending),
                               resize_mode=args.resize_mode)
             eng = RaisrEngine(cfg)
             vals = []
@@ -411,7 +412,11 @@ def cmd_train(args) -> int:
                 jnp.asarray(lr.astype(np.float32)), *hr.shape, args.bits,
                 mode=args.resize_mode))
             cheap_vals.append(float(psnr_fn(up, hr.astype(np.float32), peak)))
-        report["bilinear_psnr_db"] = round(sum(cheap_vals) / len(cheap_vals), 3)
+        # keyed by the actual resampler: "bilinear_psnr_db" for the default,
+        # "<mode>_psnr_db" otherwise (the baseline is the cheap upscale the
+        # bank was trained against)
+        report[f"{args.resize_mode}_psnr_db"] = round(
+            sum(cheap_vals) / len(cheap_vals), 3)
         if args.eval_against:
             report["reference_bank_psnr_db"] = round(
                 eval_bank(args.eval_against), 3)

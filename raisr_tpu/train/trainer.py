@@ -351,7 +351,8 @@ def train_filterbank_pass2(
         qcoherence=cfg.qcoherence, patch_size=cfg.patch_size,
         banks=(bank1,),
     )
-    rcfg = RaisrConfig(bits=cfg.bits, ratio=cfg.ratio, passes=1)
+    rcfg = RaisrConfig(bits=cfg.bits, ratio=cfg.ratio, passes=1,
+                       resize_mode=cfg.resize_mode)
     statics = pass_statics(rcfg, model1, "taps")
     filters = (jnp.asarray(bank1.filters),)
     qstr = (jnp.asarray(bank1.qstr),)
