@@ -101,7 +101,7 @@ def cmd_upscale(args) -> int:
         return 0
 
     fmt = None
-    if in_ext in (".yuv", ".raw"):
+    if in_ext in (".yuv", ".raw") or (args.input == "-" and args.size):
         if not args.size:
             raise RaisrError("raw YUV input requires --size WxH")
         w, h = (int(x) for x in args.size.lower().split("x"))
@@ -129,7 +129,9 @@ def cmd_upscale(args) -> int:
     writer.close()
     print(
         f"processed {count} frames {in_fmt.width}x{in_fmt.height} -> "
-        f"{out_w}x{out_h} in {elapsed:.2f}s ({count / max(elapsed, 1e-9):.2f} fps)"
+        f"{out_w}x{out_h} in {elapsed:.2f}s ({count / max(elapsed, 1e-9):.2f} fps)",
+        # keep the pipe clean when the Y4M stream goes to stdout
+        file=sys.stderr if args.output == "-" else sys.stdout,
     )
     return 0
 

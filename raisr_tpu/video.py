@@ -290,6 +290,16 @@ def write_yuv_as_png(frame: Frame, path: str, bits: int = 8):
 
 
 def open_reader(path: str, fmt: Optional[VideoFormat] = None):
+    """Open a clip for reading. "-" reads a Y4M stream from stdin (raw YUV
+    on stdin works too when fmt is given) — so the CLI composes in ffmpeg
+    pipelines the way the reference's filter lives inside ffmpeg:
+    `ffmpeg ... -f yuv4mpegpipe - | raisr upscale -i - -o - | ffmpeg -i - ...`
+    """
+    if path == "-":
+        import sys
+
+        stdin = sys.stdin.buffer
+        return RawYUVReader(stdin, fmt) if fmt is not None else Y4MReader(stdin)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".y4m":
         return Y4MReader(path)
@@ -301,6 +311,12 @@ def open_reader(path: str, fmt: Optional[VideoFormat] = None):
 
 
 def open_writer(path: str, fmt: VideoFormat):
+    """Open a clip for writing. "-" writes Y4M to stdout (self-describing,
+    so downstream tools can probe it)."""
+    if path == "-":
+        import sys
+
+        return Y4MWriter(sys.stdout.buffer, fmt)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".y4m":
         return Y4MWriter(path, fmt)

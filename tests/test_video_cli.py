@@ -75,6 +75,33 @@ class TestCLI:
         assert (rd.fmt.width, rd.fmt.height) == (64, 48)
         assert len(list(rd)) == 2
 
+    def test_upscale_stdin_stdout_pipe(self, tmp_path):
+        """`raisr upscale -i - -o -` streams Y4M through stdin/stdout (the
+        ffmpeg-pipeline composition surface) byte-identically to the file
+        path, keeping the pipe clean (status line on stderr)."""
+        import os
+        import sys
+
+        src = tmp_path / "in.y4m"
+        dst = tmp_path / "out.y4m"
+        _write_y4m(src, 2, 32, 24)
+        rc = cli_main(
+            ["upscale", "-i", str(src), "-o", str(dst),
+             "--filterfolder", FOLDER]
+        )
+        assert rc == 0
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        r = subprocess.run(
+            [sys.executable, "-m", "raisr_tpu.cli", "upscale", "-i", "-",
+             "-o", "-", "--filterfolder", FOLDER],
+            stdin=open(src, "rb"), capture_output=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        assert b"processed 2 frames" in r.stderr  # status stays off the pipe
+        assert r.stdout == dst.read_bytes()
+
     def test_upscale_raw_yuv(self, tmp_path):
         src = tmp_path / "in.yuv"
         dst = tmp_path / "out.yuv"
