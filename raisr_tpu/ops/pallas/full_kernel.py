@@ -187,7 +187,26 @@ def _full_kernel(
         and _ABLATE == "pair"
     )
 
+    # RAISR_ABLATE=vconv_mxu: ride the vertical tensor conv on the MXU as a
+    # banded-matrix matmul (NOTES.md VPU-floor lever) — B [n_vert, band+14]
+    # is a Toeplitz band of k1d built from iota compares (dense trace-time
+    # constants are riskier under Mosaic). Opt-in pending a real-hardware
+    # A/B; the default stays the measured-fastest FMA chain.
+    use_vmxu = _ABLATE == "vconv_mxu"
+    if use_vmxu:
+        ri = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 1)
+        vband = None
+        for i, kv in enumerate(k1d):
+            t = jnp.where(ci == ri + i, jnp.float32(kv), jnp.float32(0.0))
+            vband = t if vband is None else vband + t
+
     def vert(mp):
+        if use_vmxu:
+            return lax.dot_general(
+                vband, mp, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if not k_sym:
             acc = None
             for i, kv in enumerate(k1d):

@@ -70,3 +70,39 @@ def test_fast_tier_awkward_shape_runs():
     out = eng.process(Frame(y=y)).y
     assert out.shape == (38, 54) and out.dtype == np.uint16
     assert out.min() >= 64 and out.max() <= 940
+
+
+def test_vconv_mxu_ablation_matches_taps():
+    """RAISR_ABLATE=vconv_mxu (vertical tensor conv as a banded-matrix MXU
+    matmul — the NOTES.md VPU-floor lever, opt-in pending a hardware A/B)
+    must match the taps pipeline like the default kernel does. Runs in a
+    subprocess because the flag is read at module import."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np
+import jax; jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from raisr_tpu.config import RaisrConfig
+from raisr_tpu.engine import RaisrEngine
+rng = np.random.default_rng(3)
+y = np.clip(rng.normal(128, 40, (23, 31)), 16, 235).round().astype(np.uint8)
+outs = {}
+for backend in ("pallas", "reference"):
+    eng = RaisrEngine(RaisrConfig(
+        filterfolder="/root/reference/filters_2x/filters_highres",
+        passes=2, backend=backend))
+    outs[backend] = np.asarray(eng.upscale_y(jnp.asarray(y, jnp.float32)))
+d = np.abs(outs["pallas"].astype(int) - outs["reference"].astype(int))
+assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
+print("VCONV_OK")
+"""
+    env = dict(os.environ, RAISR_ABLATE="vconv_mxu", JAX_PLATFORMS="cpu",
+               PYTHONPATH=os.path.dirname(os.path.dirname(
+                   os.path.abspath(__file__))))
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       env=env, timeout=900)
+    assert r.returncode == 0, r.stderr.decode()[-800:]
+    assert b"VCONV_OK" in r.stdout

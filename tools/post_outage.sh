@@ -20,3 +20,8 @@ timeout 7200 python tools/batch_bench.py 2>&1 | tee /tmp/batch_bench_post.txt
 
 echo "== 3/3 bench.py (confirm headline)"
 timeout 3600 python bench.py
+
+# Optional same-day A/B of the queued VPU-floor lever (run manually):
+#   python tools/kbench_full.py                       # baseline ms/pass
+#   RAISR_ABLATE=vconv_mxu python tools/kbench_full.py  # banded-MXU vert conv
+# Keep whichever is faster as the default (flip use_vmxu in full_kernel.py).
