@@ -428,6 +428,10 @@ def cmd_train(args) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="raisr", description=__doc__)
+    from raisr_tpu import __version__
+
+    parser.add_argument("--version", action="version",
+                        version=f"raisr_tpu {__version__}")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_up = sub.add_parser("upscale", help="upscale a video or image")
