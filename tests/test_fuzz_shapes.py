@@ -93,7 +93,7 @@ outs = {}
 for backend in ("pallas", "reference"):
     eng = RaisrEngine(RaisrConfig(
         filterfolder="/root/reference/filters_2x/filters_highres",
-        passes=2, backend=backend))
+        passes=1, backend=backend))
     outs[backend] = np.asarray(eng.upscale_y(jnp.asarray(y, jnp.float32)))
 d = np.abs(outs["pallas"].astype(int) - outs["reference"].astype(int))
 assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())

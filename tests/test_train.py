@@ -228,7 +228,7 @@ class TestCTRefine:
         rng = np.random.default_rng(7)
         pairs = []
         for i in range(3):
-            h, w = 48, 64
+            h, w = 36, 48
             x, y = np.meshgrid(np.arange(w * 2), np.arange(h * 2))
             hr = (
                 90 + 90 * ((x // 9 + y // 7 + i) % 2)
