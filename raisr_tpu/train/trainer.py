@@ -385,33 +385,44 @@ def train_step_sharded(
     cfg: TrainConfig,
     mesh,
     axis: str = "data",
+    ct_filters: Optional[jnp.ndarray] = None,  # replicated seed bank -> the
+    #   CT-blend-aware weighted step (accumulate_pair_ct); None = plain LS
+    blending: int = 2,
 ):
     """One distributed training step: every device hashes + accumulates its
     shard of image pairs; Q/V are reduced with psum over ICI. Returns the
-    solved filter bank (replicated)."""
+    solved filter bank (replicated). With ct_filters, this is the sharded
+    second sweep of train_filterbank_ct (run a plain step first, feed its
+    bank back in)."""
     from jax.sharding import PartitionSpec as P
 
     out_h, out_w = hr_batch.shape[1], hr_batch.shape[2]
 
-    def per_device(lr_s, hr_s):
+    def per_device(lr_s, hr_s, *f0):
         q, v = init_accumulators(cfg)
 
         def body(i, qv):
             q, v = qv
             cheap = cheap_upscale(lr_s[i].astype(jnp.float32), out_h, out_w,
                                   cfg.bits, mode=cfg.resize_mode)
-            return accumulate_pair(q, v, cheap, hr_s[i].astype(jnp.float32), cfg)
+            hr_i = hr_s[i].astype(jnp.float32)
+            if f0:
+                return accumulate_pair_ct(q, v, cheap, hr_i, f0[0], cfg,
+                                          blending)
+            return accumulate_pair(q, v, cheap, hr_i, cfg)
 
         q, v = lax.fori_loop(0, lr_s.shape[0], body, (q, v))
         q = lax.psum(q, axis)
         v = lax.psum(v, axis)
         return solve_filters(q, v, cfg)
 
+    extra = () if ct_filters is None else (ct_filters,)
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(axis, None, None), P(axis, None, None)),
+        in_specs=(P(axis, None, None), P(axis, None, None))
+        + ((P(),) if extra else ()),
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(fn)(lr_batch, hr_batch)
+    return jax.jit(fn)(lr_batch, hr_batch, *extra)

@@ -95,6 +95,27 @@ class TestTrainer:
         single = train_filterbank(pairs, cfg)
         np.testing.assert_allclose(sharded, single.filters, rtol=2e-3, atol=2e-4)
 
+    def test_sharded_ct_step_matches_single(self):
+        """The distributed CT-blend-aware sweep (ct_filters=seed bank) must
+        solve the same bank as the single-device two-sweep path."""
+        from raisr_tpu.train import train_filterbank_ct
+
+        cfg = TrainConfig(lam=1e-3, chunk=512)
+        pairs = _pairs(4, seed=6)
+        lr_batch = jnp.stack([jnp.asarray(p[0]) for p in pairs])
+        hr_batch = jnp.stack([jnp.asarray(p[1]) for p in pairs])
+        mesh = make_mesh(4, ("data",))
+        seed_bank = np.asarray(
+            train_step_sharded(lr_batch, hr_batch, cfg, mesh))
+        sharded_ct = np.asarray(train_step_sharded(
+            lr_batch, hr_batch, cfg, mesh,
+            ct_filters=jnp.asarray(seed_bank), blending=2))
+        single_ct = train_filterbank_ct(lambda: iter(pairs), cfg, blending=2)
+        # atol covers census-bit flips amplified from the seed banks' own
+        # fp summation-order differences (sharded vs single accumulation)
+        np.testing.assert_allclose(sharded_ct, single_ct.filters,
+                                   rtol=2e-3, atol=5e-4)
+
 
 class TestSymmetryAugmentation:
     def test_augmented_bank_rotation_consistent(self):
