@@ -332,6 +332,9 @@ def make_stripe_fn(
     axis: str = "rows",
 ):
     """Per-device stripe pipeline: LR stripe [lr_h/n, W] -> HR stripe."""
+    # the stripe halo resize is built on the bilinear support/weights only
+    # (the engine rejects shard+non-bilinear configs before reaching here)
+    assert statics.resize_mode == "bilinear", statics.resize_mode
     assert out_h % n_stripes == 0 and lr_h % n_stripes == 0, (
         "row count must divide the mesh axis"
     )
