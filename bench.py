@@ -54,6 +54,29 @@ def main():
     except Exception:
         pass
 
+    # Fail fast if the TPU tunnel is dead: backend init otherwise HANGS
+    # forever (no error — observed during the round-3 relay outage), eating
+    # the caller's whole timeout budget. Probe init in a bounded subprocess
+    # (inherits this env) and abort loudly on failure — never fabricate.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300,
+            )
+            alive = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            alive = False
+        if not alive:
+            print(
+                "[RAISR ERROR] TPU backend unreachable (tunnel down?) — "
+                "bench aborted instead of hanging. See docs/ROUND3.md "
+                "outage queue.", file=sys.stderr,
+            )
+            return 1
+
     import jax.numpy as jnp
     from raisr_tpu.config import RaisrConfig
     from raisr_tpu.engine import RaisrEngine
