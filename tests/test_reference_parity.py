@@ -427,6 +427,10 @@ def test_odd_dimensions_15x(tmp_path):
     assert _psnr(mine, ref, 255.0) >= 55.0
 
 
+@pytest.mark.skipif(
+    "avx512_fp16" not in open("/proc/cpuinfo").read(),
+    reason="host CPU lacks AVX512FP16; reference fp16 tier not buildable",
+)
 def test_i8_tier_inside_reference_fp16_envelope(tmp_path):
     """The int8-pair tier (--dtype int8) claims quality between the bf16
     fast tier and f32-grade: like the bf16 test above, its output must sit

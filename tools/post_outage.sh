@@ -13,7 +13,8 @@ export PALLAS_AXON_TPU_GEN=v5e PALLAS_AXON_POOL_IPS=127.0.0.1
 export PALLAS_AXON_REMOTE_COMPILE=1
 
 echo "== 1/3 tpu_check --assert (refresh TPUCHECK_r03.json post pairing flip)"
-timeout 7200 python tools/tpu_check.py --assert || echo "TPUCHECK FAILED rc=$?"
+timeout 7200 python tools/tpu_check.py --assert --out TPUCHECK_r03.json \
+  || echo "TPUCHECK FAILED rc=$?"
 
 echo "== 2/3 batch_bench (post-flip f32 rows + full-YUV rows)"
 timeout 7200 python tools/batch_bench.py 2>&1 | tee /tmp/batch_bench_post.txt
