@@ -20,10 +20,14 @@
  * Validation: (1) type-checked under gcc -Wall -Werror against the REAL
  * libavutil headers via ffmpeg/compile_check.sh (libavfilter surface
  * shimmed, see compile_shim/; wired as tests/test_capi.py::
- * test_ffmpeg_filter_compiles_against_avutil); (2) built against a genuine
- * FFmpeg n6.1.1 tree in CI (build_ffmpeg_ci.sh) with registration +
- * transcode-parity checks; (3) the same frame loop is exercised end-to-end
- * by tools/capi_y4m.c, tested bit-identical to the Python CLI.
+ * test_ffmpeg_filter_compiles_against_avutil); (2) EXECUTED locally via
+ * the functional shim harness (ffmpeg/shim_harness.c): real av_opt option
+ * parsing, init/config_props/filter_frame on genuine padded AVFrames,
+ * output byte-identical to the Python CLI (tests/test_capi.py::
+ * test_ffmpeg_filter_executes_via_shim_harness); (3) built against a
+ * genuine FFmpeg n6.1.1 tree in CI (build_ffmpeg_ci.sh) with registration
+ * + transcode-parity checks; (4) the same frame loop is exercised
+ * end-to-end by tools/capi_y4m.c, tested bit-identical to the Python CLI.
  */
 
 #include <limits.h>

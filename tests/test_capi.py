@@ -137,6 +137,71 @@ def test_ffmpeg_filter_compiles_against_avutil():
     assert r.returncode == 0, r.stdout + r.stderr
 
 
+def test_ffmpeg_filter_executes_via_shim_harness(tmp_path):
+    """vf_raisr_tpu.c EXECUTED locally: the real filter code (option parsing
+    via genuine libavutil av_opt, init, config_props, filter_frame on real
+    AVFrames with aligned/padded linesizes) driven by the functional
+    mini-libavfilter in ffmpeg/shim_harness.c, byte-compared against the
+    Python CLI. Width 52 forces linesize (64) > width, exercising the
+    filter's RTPUPlane step handling — the part a contiguous-buffer harness
+    (capi_y4m) cannot reach. Full-tree build+transcode parity runs in CI."""
+    if shutil.which("gcc") is None:
+        pytest.skip("no C compiler")
+    lib = os.path.join(REPO, "build", "capi", "libraisr_tpu.so")
+    if not os.path.exists(lib):
+        subprocess.run(
+            [os.path.join(REPO, "tools", "build_capi.sh")],
+            check=True, capture_output=True, timeout=600,
+        )
+    r = subprocess.run(
+        [os.path.join(REPO, "ffmpeg", "shim_filter_build.sh")],
+        capture_output=True, text=True, timeout=120,
+    )
+    if r.returncode == 77:
+        pytest.skip("libavutil-dev not installed")
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    rng = np.random.default_rng(7)
+    w, h = 52, 40
+    clip = os.path.join(str(tmp_path), "in.y4m")
+    with open(clip, "wb") as f:
+        f.write(b"YUV4MPEG2 W52 H40 F30:1 Ip A1:1 C420\n")
+        for _ in range(2):
+            f.write(b"FRAME\n")
+            f.write(rng.integers(16, 235, w * h, dtype=np.uint8).tobytes())
+            f.write(rng.integers(16, 240, 2 * (w // 2) * (h // 2),
+                                 dtype=np.uint8).tobytes())
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               LD_LIBRARY_PATH=os.path.join(REPO, "build", "capi"))
+    out_flt = os.path.join(str(tmp_path), "filter.y4m")
+    out_cli = os.path.join(str(tmp_path), "cli.y4m")
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip, out_flt,
+         "ratio=2:passes=2:filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    r = subprocess.run(
+        [os.sys.executable, "-m", "raisr_tpu.cli", "upscale", "-i", clip,
+         "-o", out_cli, "--ratio", "2", "--passes", "2",
+         "--filterfolder", FOLDER],
+        capture_output=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert open(out_flt, "rb").read() == open(out_cli, "rb").read()
+
+    # the bits/format validation path must reject a mismatch loudly
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip,
+         os.path.join(str(tmp_path), "bad.y4m"),
+         "ratio=2:bits=10:filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode != 0
+    assert b"bits=8" in r.stderr
+
+
 def test_bridge_set_device():
     """RTPU_SetDevice analogue: valid index pins the default device,
     out-of-range reports [RAISR ERROR] and returns nonzero."""
