@@ -201,6 +201,32 @@ def test_ffmpeg_filter_executes_via_shim_harness(tmp_path):
     assert r.returncode != 0
     assert b"bits=8" in r.stderr
 
+    # 10-bit (YUV420P10LE) through the same filter code vs the CLI
+    clip10 = os.path.join(str(tmp_path), "in10.y4m")
+    with open(clip10, "wb") as f:
+        f.write(b"YUV4MPEG2 W52 H40 F30:1 Ip A1:1 C420p10\n")
+        f.write(b"FRAME\n")
+        f.write(rng.integers(64, 940, w * h, dtype=np.uint16)
+                .astype("<u2").tobytes())
+        f.write(rng.integers(64, 960, 2 * (w // 2) * (h // 2),
+                             dtype=np.uint16).astype("<u2").tobytes())
+    out10_flt = os.path.join(str(tmp_path), "filter10.y4m")
+    out10_cli = os.path.join(str(tmp_path), "cli10.y4m")
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip10,
+         out10_flt, "ratio=2:bits=10:passes=1:filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    r = subprocess.run(
+        [os.sys.executable, "-m", "raisr_tpu.cli", "upscale", "-i", clip10,
+         "-o", out10_cli, "--ratio", "2", "--passes", "1", "--bits", "10",
+         "--filterfolder", FOLDER],
+        capture_output=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert open(out10_flt, "rb").read() == open(out10_cli, "rb").read()
+
 
 def test_bridge_set_device():
     """RTPU_SetDevice analogue: valid index pins the default device,
