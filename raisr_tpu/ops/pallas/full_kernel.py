@@ -187,12 +187,19 @@ def _full_kernel(
         and _ABLATE == "pair"
     )
 
-    # RAISR_ABLATE=vconv_mxu: ride the vertical tensor conv on the MXU as a
-    # banded-matrix matmul (NOTES.md VPU-floor lever) — B [n_vert, band+14]
-    # is a Toeplitz band of k1d built from iota compares (dense trace-time
-    # constants are riskier under Mosaic). Opt-in pending a real-hardware
-    # A/B; the default stays the measured-fastest FMA chain.
-    use_vmxu = _ABLATE == "vconv_mxu"
+    # Vertical tensor conv as a banded-matrix MXU matmul (the NOTES.md
+    # VPU-floor lever): B [n_vert, band+14] is a Toeplitz band of k1d built
+    # from iota compares (dense trace-time constants are riskier under
+    # Mosaic). DEFAULT ON since the same-day hardware A/B (tb2=40, 4K):
+    # mxu1 6.976 (mxu) vs 7.494 (FMA chain) ms/pass = -6.9%;
+    # mxu2 9.662 vs 9.783 = -1.2% — the MXU absorbs 6 of the VPU's conv
+    # chains and the [~band+3, band+14] f32 matmuls overlap the big filter
+    # matmul poorly only on the matmul-heavy tiers. RAISR_ABLATE=vconv_fma
+    # reproduces the FMA-chain side.
+    # (pair reproduces the historical paired-FMA-chain side; nomxu must
+    # keep the conv off the MXU so the ablation still isolates the filter
+    # matmul.)
+    use_vmxu = _ABLATE not in ("vconv_fma", "pair", "nomxu")
     if use_vmxu:
         ri = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 0)
         ci = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 1)
