@@ -187,19 +187,22 @@ def _full_kernel(
         and _ABLATE == "pair"
     )
 
-    # Vertical tensor conv as a banded-matrix MXU matmul (the NOTES.md
-    # VPU-floor lever): B [n_vert, band+14] is a Toeplitz band of k1d built
-    # from iota compares (dense trace-time constants are riskier under
-    # Mosaic). DEFAULT ON since the same-day hardware A/B (tb2=40, 4K):
-    # mxu1 6.976 (mxu) vs 7.494 (FMA chain) ms/pass = -6.9%;
-    # mxu2 9.662 vs 9.783 = -1.2% — the MXU absorbs 6 of the VPU's conv
-    # chains and the [~band+3, band+14] f32 matmuls overlap the big filter
-    # matmul poorly only on the matmul-heavy tiers. RAISR_ABLATE=vconv_fma
-    # reproduces the FMA-chain side.
-    # (pair reproduces the historical paired-FMA-chain side; nomxu must
-    # keep the conv off the MXU so the ablation still isolates the filter
-    # matmul.)
-    use_vmxu = _ABLATE not in ("vconv_fma", "pair", "nomxu")
+    # RAISR_ABLATE=vconv_mxu: vertical tensor conv as a banded-matrix MXU
+    # matmul (the NOTES.md VPU-floor lever): B [n_vert, band+14] is a
+    # Toeplitz band of k1d built from iota compares. Measured FASTER on
+    # hardware (same-day A/B, tb2=40, 4K: mxu1 6.976 vs 7.494 ms/pass =
+    # -6.9%; mxu2 9.662 vs 9.783 = -1.2%) but DEFAULT OFF: the MXU's tiled
+    # K-accumulation makes the conv's f32 rounding depend on the output
+    # row's position inside the band (the FMA chain sums the same 11 taps
+    # in the same order at every row), which (a) breaks the batched
+    # stack's bit-identity to per-frame processing — frames sit at
+    # different band offsets (tpu_check frame_stacking_batched failed on
+    # real hardware; interpret mode evaluates the matmul exactly and
+    # can't see it) — and (b) grew hardware parity drift vs the exact
+    # taps path ~10x on the f32-grade tier (mxu2 frac>0 0.00044->0.00451,
+    # max 41->78 LSB). Rescuing the win needs band-aligned frame pitch in
+    # the stacked/striped/single geometries (see NOTES.md).
+    use_vmxu = _ABLATE == "vconv_mxu"
     if use_vmxu:
         ri = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 0)
         ci = lax.broadcasted_iota(jnp.int32, (n_vert, rows_g), 1)

@@ -72,12 +72,13 @@ def test_fast_tier_awkward_shape_runs():
     assert out.min() >= 64 and out.max() <= 940
 
 
-def test_vconv_fma_ablation_matches_taps():
-    """RAISR_ABLATE=vconv_fma (the historical FMA-chain vertical tensor
-    conv; the banded-matrix MXU form is the measured-faster default since
-    the round-3 hardware A/B: mxu1 -6.9%, mxu2 -1.2%) must match the taps
-    pipeline like the default kernel does. Runs in a subprocess because
-    the flag is read at module import."""
+def test_vconv_mxu_ablation_matches_taps():
+    """RAISR_ABLATE=vconv_mxu (vertical tensor conv as a banded-matrix MXU
+    matmul — measured -6.9% mxu1 / -1.2% mxu2 on hardware but DEFAULT OFF:
+    the MXU's position-dependent conv rounding breaks batched-stack
+    bit-identity and grows hardware parity drift; see full_kernel.py) must
+    still match the taps pipeline in interpret mode. Runs in a subprocess
+    because the flag is read at module import."""
     import os
     import subprocess
     import sys
@@ -100,7 +101,7 @@ d = np.abs(outs["pallas"].astype(int) - outs["reference"].astype(int))
 assert d.max() <= 1 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
 print("VCONV_OK")
 """
-    env = dict(os.environ, RAISR_ABLATE="vconv_fma", JAX_PLATFORMS="cpu",
+    env = dict(os.environ, RAISR_ABLATE="vconv_mxu", JAX_PLATFORMS="cpu",
                PYTHONPATH=os.path.dirname(os.path.dirname(
                    os.path.abspath(__file__))))
     r = subprocess.run([sys.executable, "-c", code], capture_output=True,

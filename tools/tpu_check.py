@@ -228,6 +228,39 @@ def check_bf16_tier_on_hw():
     return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>8 {(d > 8).mean():.5f}"
 
 
+@check("full_kernel_p_split_10bit")
+def check_p_split_tier_on_hw():
+    """4-phase 10-bit fast tier ([F',F'] x [Phi,Plo], mxu_passes=2 +
+    p_split — the production `--dtype bfloat16 --bits 10` path measured at
+    48.4 fps 2-pass) under real Mosaic. Completes the per-shape hardware
+    sweep: the single-phase p_split variant has its own check below."""
+    import dataclasses
+
+    _, _, statics_p, filters, qstr, qcoh = _statics(bits=10, dtype="bfloat16")
+    assert statics_p.p_split and statics_p.mxu_passes == 2, (
+        statics_p.p_split, statics_p.mxu_passes)
+    statics_t = dataclasses.replace(
+        statics_p, backend="taps", mxu_passes=3, p_split=False
+    )
+    img = _img(128, 256, bits=10)
+    from raisr_tpu.ops.pipeline import raisr_pass
+    from raisr_tpu.ops.jit_utils import tpu_jit
+
+    args = (filters[0], qstr[0], qcoh[0])
+    ref = np.asarray(jax.jit(
+        lambda y: raisr_pass(y, *args, statics_t, 0))(img))
+    out = np.asarray(tpu_jit(
+        lambda y: raisr_pass(y, *args, statics_p, 0))(img))
+    d = np.abs(out - ref)
+    mse = float((d ** 2).mean())
+    p = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+    # interpret-mode measured 67.0 dB / max 20 vs ref f32 on parity
+    # content; this noisy content bounds like the single-phase check
+    assert p >= 40.0, p
+    assert (d > 32).mean() < 5e-3, (d > 32).mean()
+    return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>32 {(d > 32).mean():.5f}"
+
+
 @check("full_kernel_i8_tier")
 def check_i8_tier_on_hw():
     import dataclasses
@@ -407,6 +440,7 @@ CHECKS = [
     check_full_kernel_on_hw,
     check_full_kernel_mxu3_on_hw,
     check_bf16_tier_on_hw,
+    check_p_split_tier_on_hw,
     check_i8_tier_on_hw,
     check_single_phase_on_hw,
     check_single_phase_p_split_on_hw,
