@@ -1,19 +1,28 @@
-"""Probe: which integer dot_general modes does real Mosaic support, and at
-what relative rate?
+"""Probe: which integer dot_general operand modes does real Mosaic support?
 
-Motivation (NOTES.md i8 tier): the current int8-pair tier M-stacks hi/lo
-int8 filters ([1728, 144] @ [144, N] -> i32) and combines 256*hi + lo. If
-Mosaic lowers dot_general(int16, int8) -> int32 natively, the tier could
-run ONE [864, 144] matmul with exact int16 fixed-point filters - the same
-slot count as the bf16 tier, no combine, half the gt bytes of the pair
-form. This probe checks correctness and relative rate on real hardware.
+Motivation (NOTES.md i8 tier): the int8-pair tier M-stacks hi/lo int8
+filters ([1728, 144] @ [144, N] -> i32) and combines 256*hi + lo. If
+Mosaic lowered dot_general(int16, int8) -> int32 natively, the tier could
+run ONE [864, 144] matmul with exact int16 fixed-point filters — the same
+slot count as the bf16 tier, no combine, half the gt bytes.
+
+MEASURED RESULT (2026-08-18, v5e via axon remote compile):
+    s8  x s8  -> s32   SUPPORTED, bit-exact vs numpy
+    s16 x s8  -> s32   UNSUPPORTED (tpu_compile_helper exit 1)
+    s16 x s16 -> s32   UNSUPPORTED
+    s32 x s8  -> s32   UNSUPPORTED
+i.e. the MXU's only integer mode reachable from Pallas is s8xs8 — the
+hi/lo int8 pair (full_kernel.py i8 path) is already the optimal
+fixed-point formulation; the single-slot s16 variant is CLOSED.
+
+This tool re-checks correctness only. Rate A/Bs belong in
+tools/kbench_full.py (in-kernel rep loops here hit unrelated Mosaic
+lowering failures and dispatch overhead swamps single dots).
 
 Usage: python tools/probe_s16.py    (TPU env; see tools/post_outage.sh)
 """
 
 import os
-import time
-import functools
 
 import numpy as np
 import jax
@@ -30,71 +39,36 @@ from jax import lax
 from jax.experimental import pallas as pl
 
 M, K, N = 864, 144, 512
-REPS = 16  # matmuls per kernel call; gt pinned per unrolled
-           # iteration (NOTES landmine #3): 16 x 1.7 MB < the
-           # 124 MB scoped-VMEM limit tpu_jit sets
 
 
-def _kernel(lt, rt, o_ref, *, ldt, rdt, odt):
-    l = lt[...]
-    r = rt[...]
-    acc = None
-    for i in range(REPS):
-        # vary one operand per rep so Mosaic can't hoist the matmul
-        rr = r + rdt(i % 3)
-        gt = lax.dot_general(l, rr, (((1,), (0,)), ((), ())),
-                             preferred_element_type=odt)
-        acc = gt if acc is None else acc + gt
-    o_ref[...] = acc
-
-
-def run(name, ldt, rdt, odt):
-    rng = np.random.default_rng(0)
-    lv = rng.integers(-120, 120, (M, K)).astype(np.int32)
-    rv = rng.integers(-120, 120, (K, N)).astype(np.int32)
-    if ldt == jnp.bfloat16:
-        lv = lv.astype(np.float32)
-        rv = rv.astype(np.float32)
-    l = jnp.asarray(lv, ldt)
-    r = jnp.asarray(rv, rdt)
-
-    fn = pl.pallas_call(
-        functools.partial(_kernel, ldt=ldt, rdt=rdt, odt=odt),
-        out_shape=jax.ShapeDtypeStruct((M, N), odt),
+def _kernel(lt, rt, o_ref):
+    o_ref[...] = lax.dot_general(
+        lt[...], rt[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
     )
+
+
+def run(name, ldt, rdt, lmax):
     from raisr_tpu.ops.jit_utils import tpu_jit
-    jfn = tpu_jit(fn)
+
+    rng = np.random.default_rng(0)
+    lv = rng.integers(-lmax, lmax, (M, K))
+    rv = rng.integers(-120, 120, (K, N))
+    fn = tpu_jit(pl.pallas_call(
+        _kernel, out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32)
+    ))
     try:
-        out = np.asarray(jfn(l, r))
+        out = np.asarray(fn(jnp.asarray(lv, ldt), jnp.asarray(rv, rdt)))
     except Exception as e:  # lowering/compile failure = unsupported
-        print(f"{name}: UNSUPPORTED ({type(e).__name__}: {str(e)[:160]})")
-        return None
-    # correctness vs numpy (same rep schedule)
-    acc = None
-    for i in range(REPS):
-        gt = lv.astype(np.int64) @ (rv + (i % 3)).astype(np.int64)
-        acc = gt if acc is None else acc + gt
-    if odt == jnp.float32:
-        ok = np.allclose(out, acc.astype(np.float64), rtol=1e-2, atol=1e2)
-    else:
-        ok = np.array_equal(out.astype(np.int64), acc)
-    # rate: min-of-5 fenced timings (identical dispatch caching: vary input)
-    times = []
-    for rep in range(5):
-        l2 = jnp.asarray(lv + rep + 1, ldt)
-        t0 = time.perf_counter()
-        float(jnp.sum(jfn(l2, r).astype(jnp.float32)))
-        times.append(time.perf_counter() - t0)
-    ms = min(times) * 1000
-    print(f"{name}: ok={ok} {ms:.2f} ms/call ({REPS} matmuls of "
-          f"[{M},{K}]@[{K},{N}])")
-    return ms
+        print(f"{name}: UNSUPPORTED ({type(e).__name__}: {str(e)[:120]})")
+        return
+    ref = lv.astype(np.int64) @ rv.astype(np.int64)
+    print(f"{name}: SUPPORTED, exact={np.array_equal(out.astype(np.int64), ref)}")
 
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0])
-    run("bf16xbf16->f32", jnp.bfloat16, jnp.bfloat16, jnp.float32)
-    run("s8xs8->s32    ", jnp.int8, jnp.int8, jnp.int32)
-    run("s16xs8->s32   ", jnp.int16, jnp.int8, jnp.int32)
-    run("s16xs16->s32  ", jnp.int16, jnp.int16, jnp.int32)
-    run("s32xs8->s32   ", jnp.int32, jnp.int8, jnp.int32)
+    run("s8xs8->s32  ", jnp.int8, jnp.int8, 120)
+    run("s16xs8->s32 ", jnp.int16, jnp.int8, 30000)
+    run("s16xs16->s32", jnp.int16, jnp.int16, 30000)
+    run("s32xs8->s32 ", jnp.int32, jnp.int8, 30000)
