@@ -55,14 +55,16 @@ typedef struct RaisrTpuContext {
     const AVClass *class;
     float ratio;
     int bits;
-    int range;
+    char *range;
     char *filterfolder;
     int blending;
     int passes;
     int mode;
     int evenoutput;
     char *tier;
+    char *asm_compat;
     int threadcount;
+    int platform;
     int device;
     int framecount;
     int nb_planes;
@@ -76,8 +78,11 @@ static const AVOption raisr_tpu_options[] = {
       { .dbl = 2.0 }, 1.0, 4.0, FLAGS },
     { "bits", "bit depth (8|10|16)", OFFSET(bits), AV_OPT_TYPE_INT,
       { .i64 = 8 }, 8, 16, FLAGS },
-    { "range", "color range (1=video 2=full)", OFFSET(range),
-      AV_OPT_TYPE_INT, { .i64 = 1 }, 1, 2, FLAGS },
+    /* string-valued like vf_raisr's range option (vf_raisr.c:84) so
+     * reference command lines drop in; "1"/"2" also accepted for users of
+     * this filter's earlier integer surface */
+    { "range", "input color range (video|full)", OFFSET(range),
+      AV_OPT_TYPE_STRING, { .str = "video" }, 0, 0, FLAGS },
     { "filterfolder", "trained filter-bank folder", OFFSET(filterfolder),
       AV_OPT_TYPE_STRING, { .str = "filters_2x/filters_lowres" }, 0, 0, FLAGS },
     { "blending", "1=Randomness 2=CountOfBitsChanged", OFFSET(blending),
@@ -93,12 +98,24 @@ static const AVOption raisr_tpu_options[] = {
      * quality; bf16 is the qualified fast tier; int8 is the fixed-point
      * fast tier for 8-bit content (docs/PARITY.md) */
     { "tier", "precision tier (f32|bf16|int8)", OFFSET(tier),
-      AV_OPT_TYPE_STRING, { .str = "f32" }, 0, 0, FLAGS },
+      AV_OPT_TYPE_STRING, { .str = NULL }, 0, 0, FLAGS },
+    /* vf_raisr's asm option (vf_raisr.c:90), mapped onto precision tiers so
+     * reference command lines drop in: avx512fp16 (the reference's
+     * half-precision default) -> bf16, avx512/avx2/opencl (f32-grade
+     * paths) -> f32. An explicit tier= wins over asm=. */
+    { "asm", "vf_raisr compatibility: avx512fp16->bf16 tier, "
+      "avx512|avx2|opencl->f32 tier", OFFSET(asm_compat),
+      AV_OPT_TYPE_STRING, { .str = NULL }, 0, 0, FLAGS },
     /* accepted for drop-in compatibility with vf_raisr command lines:
      * scheduling is XLA-managed on TPU, so threadcount is advisory */
     { "threadcount", "accepted for vf_raisr compatibility (scheduling is "
       "XLA-managed)", OFFSET(threadcount), AV_OPT_TYPE_INT,
       { .i64 = 20 }, 1, 120, FLAGS },
+    /* vf_raisr's OpenCL platform index (vf_raisr.c:91): meaningless on a
+     * TPU runtime, accepted so reference command lines drop in */
+    { "platform", "accepted for vf_raisr compatibility (no OpenCL "
+      "platforms on a TPU runtime)", OFFSET(platform), AV_OPT_TYPE_INT,
+      { .i64 = 0 }, 0, INT_MAX, FLAGS },
     /* chip selection for one-process-per-chip deployments — the analogue
      * of vf_raisr's device option (OpenCL device index) */
     { "device", "accelerator chip index", OFFSET(device), AV_OPT_TYPE_INT,
@@ -112,6 +129,37 @@ static av_cold int init(AVFilterContext *ctx)
 {
     RaisrTpuContext *s = ctx->priv;
     RTPUStatus st;
+    RTPURangeType range;
+    RTPUTier tier;
+
+    if (!s->range || !strcmp(s->range, "video") || !strcmp(s->range, "1")) {
+        range = RTPU_RANGE_VIDEO;
+    } else if (!strcmp(s->range, "full") || !strcmp(s->range, "2")) {
+        range = RTPU_RANGE_FULL;
+    } else {
+        av_log(ctx, AV_LOG_ERROR,
+               "unknown range '%s' (expected video or full)\n", s->range);
+        return AVERROR(EINVAL);
+    }
+
+    if (s->tier) {
+        if (!strcmp(s->tier, "bf16"))      tier = RTPU_TIER_BF16;
+        else if (!strcmp(s->tier, "int8")) tier = RTPU_TIER_INT8;
+        else if (!strcmp(s->tier, "f32"))  tier = RTPU_TIER_F32;
+        else {
+            av_log(ctx, AV_LOG_ERROR,
+                   "unknown tier '%s' (expected f32, bf16 or int8)\n",
+                   s->tier);
+            return AVERROR(EINVAL);
+        }
+    } else if (s->asm_compat) {
+        /* reference command lines select precision via asm=; anything
+         * f32-grade (avx512, avx2, opencl) maps to the f32 tier */
+        tier = !strcmp(s->asm_compat, "avx512fp16") ? RTPU_TIER_BF16
+                                                    : RTPU_TIER_F32;
+    } else {
+        tier = RTPU_TIER_F32;
+    }
 
     s->framecount = 0;
     if (s->device > 0) {
@@ -123,11 +171,7 @@ static av_cold int init(AVFilterContext *ctx)
         }
     }
     st = RTPU_InitEx(s->filterfolder, s->ratio, (unsigned)s->bits,
-                     s->range == 2 ? RTPU_RANGE_FULL : RTPU_RANGE_VIDEO,
-                     (unsigned)s->passes, (unsigned)s->mode,
-                     s->tier && !strcmp(s->tier, "bf16")   ? RTPU_TIER_BF16
-                     : s->tier && !strcmp(s->tier, "int8") ? RTPU_TIER_INT8
-                                                           : RTPU_TIER_F32);
+                     range, (unsigned)s->passes, (unsigned)s->mode, tier);
     if (st != RTPU_OK) {
         av_log(ctx, AV_LOG_ERROR, "RTPU_Init failed: %d\n", (int)st);
         return AVERROR(EINVAL);

@@ -191,6 +191,30 @@ def test_ffmpeg_filter_executes_via_shim_harness(tmp_path):
     assert r.returncode == 0, r.stderr.decode()[-500:]
     assert open(out_flt, "rb").read() == open(out_cli, "rb").read()
 
+    # a verbatim vf_raisr-style command line must drop in: string range,
+    # asm= (f32-grade values map to the f32 tier), platform/threadcount
+    # accepted (vf_raisr.c:82-93) — output identical to the f32 run above
+    out_compat = os.path.join(str(tmp_path), "compat.y4m")
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip,
+         out_compat,
+         "ratio=2:passes=2:range=video:asm=avx512:platform=0:threadcount=20"
+         ":filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    assert open(out_compat, "rb").read() == open(out_cli, "rb").read()
+
+    # an unknown range string must be rejected loudly at init
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip,
+         os.path.join(str(tmp_path), "badrange.y4m"),
+         "ratio=2:range=limited:filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode != 0
+    assert b"unknown range" in r.stderr
+
     # the bits/format validation path must reject a mismatch loudly
     r = subprocess.run(
         [os.path.join(REPO, "build", "capi", "shim_filter"), clip,
