@@ -154,9 +154,21 @@ static av_cold int init(AVFilterContext *ctx)
         }
     } else if (s->asm_compat) {
         /* reference command lines select precision via asm=; anything
-         * f32-grade (avx512, avx2, opencl) maps to the f32 tier */
-        tier = !strcmp(s->asm_compat, "avx512fp16") ? RTPU_TIER_BF16
-                                                    : RTPU_TIER_F32;
+         * f32-grade (avx512, avx2, opencl) maps to the f32 tier.
+         * Reject unknown values like vf_raisr does (vf_raisr.c:129-132)
+         * so a typo can't silently change the selected tier. */
+        if (!strcmp(s->asm_compat, "avx512fp16")) {
+            tier = RTPU_TIER_BF16;
+        } else if (!strcmp(s->asm_compat, "avx512") ||
+                   !strcmp(s->asm_compat, "avx2") ||
+                   !strcmp(s->asm_compat, "opencl")) {
+            tier = RTPU_TIER_F32;
+        } else {
+            av_log(ctx, AV_LOG_ERROR,
+                   "unknown asm '%s' (expected avx512fp16, avx512, avx2 "
+                   "or opencl)\n", s->asm_compat);
+            return AVERROR(EINVAL);
+        }
     } else {
         tier = RTPU_TIER_F32;
     }

@@ -215,6 +215,17 @@ def test_ffmpeg_filter_executes_via_shim_harness(tmp_path):
     assert r.returncode != 0
     assert b"unknown range" in r.stderr
 
+    # an unknown asm string must be rejected loudly, like vf_raisr
+    # (vf_raisr.c:129-132) — not silently mapped to the f32 tier
+    r = subprocess.run(
+        [os.path.join(REPO, "build", "capi", "shim_filter"), clip,
+         os.path.join(str(tmp_path), "badasm.y4m"),
+         "ratio=2:asm=avx512f16:filterfolder=" + FOLDER],
+        capture_output=True, timeout=600, env=env,
+    )
+    assert r.returncode != 0
+    assert b"unknown asm" in r.stderr
+
     # the bits/format validation path must reject a mismatch loudly
     r = subprocess.run(
         [os.path.join(REPO, "build", "capi", "shim_filter"), clip,

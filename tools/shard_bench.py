@@ -36,6 +36,10 @@ from raisr_tpu.parallel.sharding import process_batch_dp, process_batch_2d
 
 ONLY = sys.argv[1] if len(sys.argv) > 1 else None
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+if N <= 2:
+    sys.exit("N must be > 2 (slope needs two distinct batch sizes; "
+             f"got N={N}, n_small=max(2, N//4) would equal N)")
+_MATCHED = 0
 H, W = 1080, 1920
 FOLDER = "/root/reference/filters_2x/filters_highres"
 
@@ -47,8 +51,10 @@ def fence(x):
 def slope(name, fn, base):
     """Per-frame ms from the slope between two batch sizes (cancels the
     tunnel's noisy per-dispatch overhead; see docs/PERFORMANCE.md)."""
+    global _MATCHED
     if ONLY and ONLY not in name:
         return
+    _MATCHED += 1
     def measure(n):
         batch = jnp.asarray(base[:n])
         fence(fn(batch))  # compile + warm
@@ -86,7 +92,7 @@ def main():
         rng.integers(16, 235, (N, H, W)).astype(np.float32) + salt, 0, 235
     )
 
-    slope("unsharded batched (engine.process_batch_y)",
+    slope("base: unsharded batched (engine.process_batch_y)",
           eng.process_batch_y, base)
 
     dev = np.asarray(jax.devices()[:1])
@@ -110,6 +116,10 @@ def main():
         ),
         base,
     )
+
+    if ONLY and _MATCHED == 0:
+        sys.exit(f"selector '{ONLY}' matched no benchmark "
+                 "(valid substrings: base, dp, 2d)")
 
 
 if __name__ == "__main__":
