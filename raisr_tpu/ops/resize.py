@@ -38,6 +38,53 @@ def _axis_weights(in_size: int, out_size: int) -> tuple[np.ndarray, np.ndarray, 
     return idx0, idx1, frac
 
 
+def _axis_weights_exact(in_size: int, out_size: int):
+    """Static (idx0, idx1, w, den) for one axis when the ratio makes every
+    bilinear weight a rational with a tiny denominator: frac = w/den exactly,
+    with w an exact small integer (2x -> den 4, 1.5x -> den 6). None for any
+    other ratio (e.g. evenoutput-trimmed widths)."""
+    if out_size == 2 * in_size:
+        den = 4
+    elif 2 * out_size == 3 * in_size:
+        den = 6
+    else:
+        return None
+    idx0, idx1, frac = _axis_weights(in_size, out_size)
+    w = np.round(frac.astype(np.float64) * den)
+    assert np.abs(w / den - frac).max() < 1e-6  # ratio guarantees exactness
+    return idx0, idx1, w.astype(np.float32), float(den)
+
+
+def _bilinear_exact_rounded(
+    img: jnp.ndarray, out_h: int, out_w: int, bits: int
+) -> jnp.ndarray | None:
+    """Round-half-up bilinear upscale computed in exact f32 integer
+    arithmetic, available when both axis ratios are 2x or 1.5x.
+
+    Every intermediate is an exact integer (max 65535*36 < 2^24), so the
+    result is the mathematically exact rounding — independent of FMA
+    contraction or fusion order. This is what makes the whole-plane,
+    guard-band-stacked, and row-stripe-sharded cheap upscales bit-identical
+    BY CONSTRUCTION rather than by matching codegen (the sharded 1.5x path
+    used to flip rare exact-.5 ties by 1 LSB when XLA fused the two paths'
+    f32 FMA chains differently)."""
+    in_h, in_w = img.shape
+    rv = _axis_weights_exact(in_h, out_h)
+    cv = _axis_weights_exact(in_w, out_w)
+    if rv is None or cv is None:
+        return None
+    r0, r1, rw, rden = rv
+    c0, c1, cw, cden = cv
+    img = img.astype(jnp.float32)
+    a = jnp.take(img, r0, axis=0)
+    rows_s = a * rden + (jnp.take(img, r1, axis=0) - a) * rw[:, None]
+    b = jnp.take(rows_s, c0, axis=1)
+    out_s = b * cden + (jnp.take(rows_s, c1, axis=1) - b) * cw[None, :]
+    den = rden * cden  # <= 36; out_s = den * bilinear value, exact
+    val = jnp.floor((out_s + den / 2) / den)
+    return jnp.clip(val, 0.0, float((1 << bits) - 1))
+
+
 def _upscale_axis0_2x(img: jnp.ndarray) -> jnp.ndarray:
     """Gather-free 2x upsample along axis 0.
 
@@ -135,6 +182,14 @@ def cheap_upscale(
     mode: str = "bilinear",
 ) -> jnp.ndarray:
     """Integer-valued cheap upscale (float32 array holding ints in [0, 2^bits-1])."""
+    in_h, in_w = img.shape
+    if mode == "bilinear" and not (out_h == 2 * in_h and out_w == 2 * in_w):
+        # non-2x bilinear: exact-integer form when the ratio allows (the 2x
+        # slice-interleave path below is already exact — weights are
+        # quarters — and gather-free, so it stays the 2x fast path)
+        exact = _bilinear_exact_rounded(img, out_h, out_w, bits)
+        if exact is not None:
+            return exact
     out = resample_upscale(img, out_h, out_w, mode)
     max_full = float((1 << bits) - 1)
     return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)
@@ -164,7 +219,17 @@ def cheap_upscale_stacked(
     inside its frame; see ops.pipeline.process_plane_y_batch)."""
     period_in = in_h + 2 * pad_in
     assert img.shape[0] == n_frames * period_in, (img.shape, n_frames, period_in)
-    r0, r1, rf = _axis_weights(in_h, out_h)
+    rv = _axis_weights_exact(in_h, out_h)
+    cv = _axis_weights_exact(img.shape[1], out_w)
+    if rv is not None and cv is not None:
+        # exact-integer arithmetic (see _bilinear_exact_rounded): identical
+        # to the per-frame path independent of fusion/FMA codegen
+        r0, r1, rf, rden = rv
+        c0, c1, cf, cden = cv
+    else:
+        r0, r1, rf = _axis_weights(in_h, out_h)
+        c0, c1, cf = _axis_weights(img.shape[1], out_w)
+        rden = cden = 1.0
     top = np.full(pad_out, pad_in, np.int32)  # frame row 0
     bot = np.full(pad_out, pad_in + in_h - 1, np.int32)  # frame last row
     zf = np.zeros(pad_out, np.float32)
@@ -178,9 +243,9 @@ def cheap_upscale_stacked(
 
     img = img.astype(jnp.float32)
     a = jnp.take(img, g_r0, axis=0)
-    rows = a + (jnp.take(img, g_r1, axis=0) - a) * g_rf[:, None]
-    c0, c1, cf = _axis_weights(img.shape[1], out_w)
+    rows = a * rden + (jnp.take(img, g_r1, axis=0) - a) * g_rf[:, None]
     b = jnp.take(rows, c0, axis=1)
-    out = b + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
+    out = b * cden + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
+    den = rden * cden
     max_full = float((1 << bits) - 1)
-    return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)
+    return jnp.clip(jnp.floor((out + den / 2) / den), 0.0, max_full)

@@ -151,20 +151,35 @@ def _upscale_stripe(
     The row mapping (src = (dst + 0.5) * in/out - 0.5, border clamp) is
     precomputed at trace time in float64 for *global* destination rows
     [-halo, out_h + halo) — exactly the whole-plane table — and sliced per
-    device, so the sharded resize is bit-identical to the whole-plane one.
+    device. At the production ratios (2x, 1.5x) the interpolation itself
+    runs in the exact-integer form of resize._bilinear_exact_rounded, so the
+    sharded resize is bit-identical to the whole-plane one BY CONSTRUCTION
+    (exact arithmetic cannot depend on how XLA fuses the FMA chains); other
+    ratios fall back to the f32 chain, where rare exact-.5 ties may flip.
     The LR halo guarantees the needed source rows are local."""
+    from raisr_tpu.ops.resize import _axis_weights_exact
+
     idx = lax.axis_index(axis)
     hr_stripe_rows = out_rows  # per-device HR core rows
     lr_start = idx * lr_stripe_rows - lr_halo  # global first LR row in lr_ext
     total_hr = hr_stripe_rows + 2 * hr_halo
 
+    if out_h_global == 2 * lr_h_global:
+        vden = 4.0
+    elif 2 * out_h_global == 3 * lr_h_global:
+        vden = 6.0
+    else:
+        vden = 1.0
     dst_ext = np.arange(-hr_halo, out_h_global + hr_halo, dtype=np.float64)
     src_ext = np.clip(
         (dst_ext + 0.5) * (lr_h_global / out_h_global) - 0.5, 0.0, lr_h_global - 1
     )
     r0_ext = np.floor(src_ext).astype(np.int32)
     r1_ext = np.minimum(r0_ext + 1, lr_h_global - 1)
-    frac_ext = (src_ext - r0_ext).astype(np.float32)
+    frac_ext = src_ext - r0_ext
+    if vden != 1.0:
+        frac_ext = np.round(frac_ext * vden)  # exact small ints
+    frac_ext = frac_ext.astype(np.float32)
 
     start = idx * hr_stripe_rows  # offset into the extended tables
     r0g = lax.dynamic_slice(jnp.asarray(r0_ext), (start,), (total_hr,))
@@ -173,19 +188,25 @@ def _upscale_stripe(
     r0 = jnp.clip(r0g - lr_start, 0, lr_ext.shape[0] - 1)
     r1 = jnp.clip(r1g - lr_start, 0, lr_ext.shape[0] - 1)
     a = jnp.take(lr_ext, r0, axis=0)
-    rows = a + (jnp.take(lr_ext, r1, axis=0) - a) * frac
+    rows = a * vden + (jnp.take(lr_ext, r1, axis=0) - a) * frac
 
     # horizontal: same as whole-plane
     in_w = lr_ext.shape[1]
-    dst_c = np.arange(out_w, dtype=np.float64)
-    src_c = np.clip((dst_c + 0.5) * (in_w / out_w) - 0.5, 0.0, in_w - 1)
-    c0 = np.floor(src_c).astype(np.int32)
-    c1 = np.minimum(c0 + 1, in_w - 1)
-    cf = (src_c - c0).astype(np.float32)
+    cv = _axis_weights_exact(in_w, out_w)
+    if cv is not None:
+        c0, c1, cf, cden = cv
+    else:
+        dst_c = np.arange(out_w, dtype=np.float64)
+        src_c = np.clip((dst_c + 0.5) * (in_w / out_w) - 0.5, 0.0, in_w - 1)
+        c0 = np.floor(src_c).astype(np.int32)
+        c1 = np.minimum(c0 + 1, in_w - 1)
+        cf = (src_c - c0).astype(np.float32)
+        cden = 1.0
     b = jnp.take(rows, c0, axis=1)
-    out = b + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
+    out = b * cden + (jnp.take(rows, c1, axis=1) - b) * cf[None, :]
+    den = vden * cden
     max_full = float((1 << bits) - 1)
-    return jnp.clip(jnp.floor(out + 0.5), 0.0, max_full)
+    return jnp.clip(jnp.floor((out + den / 2) / den), 0.0, max_full)
 
 
 def _raisr_pass_stripe(

@@ -195,9 +195,9 @@ def test_row_sharded_pallas_fused_two_pass():
 
 
 def test_row_sharded_pallas_fused_15x():
-    """Single-phase (1.5x) whole-pass kernel under row sharding. The RAISR
-    pass itself is bit-identical (same kernel, global zones); the cheap
-    upscale may flip exact .5 rounding ties (see test_row_sharded_15x)."""
+    """Single-phase (1.5x) whole-pass kernel under row sharding: bit-identical
+    to the single-device pipeline (same kernel with global zones; the cheap
+    upscale runs in exact-integer arithmetic at production ratios)."""
     import dataclasses
 
     folder = "/root/reference/filters_1.5x/filters_highres"
@@ -211,8 +211,7 @@ def test_row_sharded_pallas_fused_15x():
         lr, filters, qstr, qcoh, statics, 1, 1, 48, 48, mesh, "rows"
     )
     single = process_plane_y(lr, filters, qstr, qcoh, statics, 1, 1, 48, 48)
-    diff = np.abs(np.asarray(out) - np.asarray(single))
-    assert (diff > 0).mean() < 0.002 and diff.max() <= 1
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
 
 
 def test_row_sharded_15x():
@@ -224,7 +223,6 @@ def test_row_sharded_15x():
         lr, filters, qstr, qcoh, statics, 1, 1, 72, 60, mesh, "rows"
     )
     single = process_plane_y(lr, filters, qstr, qcoh, statics, 1, 1, 72, 60)
-    # non-integral ratio: stripe row mapping is computed in f32 on-device vs
-    # f64 at trace time; allow exact-tie rounding flips only
-    diff = np.abs(np.asarray(out) - np.asarray(single))
-    assert (diff > 0).mean() < 0.002 and diff.max() <= 1
+    # bit-identical: the 1.5x cheap upscale runs in exact-integer arithmetic
+    # (resize._bilinear_exact_rounded) in both the striped and single paths
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
