@@ -142,11 +142,14 @@ def main():
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
                 "tier": "bf16 (mxu_passes=1, error-diffused filter rounding)",
                 "quality_basis": (
-                    "strictly closer to the compiled reference's f32 AVX-512 "
-                    "output (62.6 dB, max 6 LSB) than the reference's own "
-                    "AVX512FP16 tier is (54.7 dB, max 8 LSB); enforced by "
-                    "tests/test_reference_parity.py::"
-                    "test_bf16_tier_inside_reference_fp16_envelope"
+                    "meets the BASELINE quality criterion directly: "
+                    "dPSNR-vs-ground-truth +0.0001 dB vs the AVX-512 "
+                    "reference (bar 0.05; tests/test_reference_parity.py::"
+                    "test_psnr_vs_ground_truth_fast_tiers), and strictly "
+                    "closer to the compiled reference's f32 AVX-512 output "
+                    "(62.6 dB, max 6 LSB) than the reference's own "
+                    "AVX512FP16 tier is (54.7 dB, max 8 LSB; "
+                    "test_bf16_tier_inside_reference_fp16_envelope)"
                 ),
             }
         )

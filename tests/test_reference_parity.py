@@ -286,24 +286,73 @@ def test_16bit_processing_within_reference_isa_envelope(tmp_path):
     assert p_mine_256 >= 60.0, p_mine_256
 
 
+def _ground_truth_pair(bits: int):
+    """(hr ground truth, lr 2x box downscale) of structured content."""
+    rng = np.random.default_rng(9)
+    x, y = np.meshgrid(np.arange(2 * W), np.arange(2 * H))
+    scale = (1 << bits) / 256.0
+    lo, hi = {8: (16, 235), 10: (64, 940)}[bits]
+    hr = np.clip((60 + 80 * np.sin(x / 17.0) + 60 * (y > H)
+                  + 40 * np.sin((x + y) / 9.0)
+                  + rng.normal(0, 4, (2 * H, 2 * W))) * scale,
+                 lo, hi)  # HR ground truth, 192x128
+    lr = np.clip(np.floor(
+        hr.reshape(H, 2, W, 2).mean(axis=(1, 3)) + 0.5), lo, hi)
+    dtype = np.uint8 if bits == 8 else np.uint16
+    return hr.astype(dtype), lr.astype(dtype)
+
+
 def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
     """BASELINE.md criterion, measured directly: upscale a downscaled image
     and compare PSNR-vs-original between raisr_tpu and the reference;
     the two PSNRs must agree within 0.05 dB."""
-    rng = np.random.default_rng(9)
-    x, y = np.meshgrid(np.arange(2 * W), np.arange(2 * H))
-    hr = np.clip(60 + 80 * np.sin(x / 17.0) + 60 * (y > H)
-                 + 40 * np.sin((x + y) / 9.0) + rng.normal(0, 4, (2 * H, 2 * W)),
-                 16, 235)  # HR ground truth, 192x128
-    lr = np.clip(np.floor(
-        hr.reshape(H, 2, W, 2).mean(axis=(1, 3)) + 0.5), 16, 235
-    ).astype(np.uint8)  # 2x box downscale
-    hr = hr.astype(np.uint8)
+    hr, lr = _ground_truth_pair(8)
     kw = dict(folder="filters_2x/filters_highres", passes=2)
     ref = _run_reference(str(tmp_path), lr, asm=2, **kw)
     mine = _run_mine(lr, **kw)
     p_ref = _psnr(ref, hr, 255.0)
     p_mine = _psnr(mine, hr, 255.0)
+    assert abs(p_mine - p_ref) <= 0.05, (p_mine, p_ref)
+
+
+@pytest.mark.parametrize(
+    "dtype,bits",
+    [("bfloat16", 8), ("int8", 8), ("bfloat16", 10)],
+    ids=["bf16_tier", "i8_tier", "p_split_10bit"],
+)
+def test_psnr_vs_ground_truth_fast_tiers(tmp_path, dtype, bits):
+    """The BASELINE quality criterion (ΔPSNR-vs-ground-truth ≤ 0.05 dB vs
+    the AVX-512 reference) asserted on the FAST tiers — the bf16 tier the
+    headline bench runs (the analogue of the reference's auto-selected
+    AVX512FP16 production tier, Raisr.cpp:1492-1501), the int8-pair tier,
+    and the p_split 10-bit tier — not just the default f32-grade tier
+    covered by test_psnr_vs_ground_truth_within_half_tenth."""
+    import jax.numpy as jnp  # noqa: F401  (engine import chain needs jax)
+
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+    import raisr_tpu.ops.pallas.full_kernel as fk
+
+    hr, lr = _ground_truth_pair(bits)
+    peak = float((1 << bits) - 1) if bits > 8 else 255.0
+    kw = dict(folder="filters_2x/filters_highres", passes=2, bits=bits)
+    ref = _run_reference(str(tmp_path), lr, asm=2, **kw)
+
+    orig = fk.raisr_pass_pallas_full
+    fk.raisr_pass_pallas_full = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        cfg = RaisrConfig(
+            filterfolder=os.path.join(REFERENCE_ROOT, kw["folder"]),
+            passes=2, bits=bits, backend="pallas", dtype=dtype,
+        )
+        mine = RaisrEngine(cfg).process(Frame(y=lr)).y
+    finally:
+        fk.raisr_pass_pallas_full = orig
+
+    p_ref = _psnr(ref, hr, peak)
+    p_mine = _psnr(mine, hr, peak)
+    print(f"{dtype}/{bits}-bit PSNR vs GT: mine {p_mine:.4f} dB, "
+          f"ref AVX-512 {p_ref:.4f} dB (delta {p_mine - p_ref:+.4f})")
     assert abs(p_mine - p_ref) <= 0.05, (p_mine, p_ref)
 
 
