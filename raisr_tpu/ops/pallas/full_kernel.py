@@ -89,6 +89,7 @@ def _full_kernel(
     band: int,
     rowbatch: int,
     cchunk: int,
+    gchunk_req: int,
     mpack: bool,
     k1d: tuple,
     nf: float,
@@ -352,8 +353,9 @@ def _full_kernel(
             # matmul granularity: gchunk base rows per [864, K] matmul
             # (gt is [864, gchunk*w2p] f32 — or [1728, .] i32 for the int8
             # pair, hence the halved threshold; keep it comfortably in
-            # VMEM): the largest divisor of rowbatch under the target
-            gchunk = max(
+            # VMEM): the largest divisor of rowbatch under the target,
+            # overridable for A/B sweeps via gchunk_req
+            gchunk = gchunk_req if gchunk_req > 0 else max(
                 d for d in range(1, rowbatch + 1)
                 if rowbatch % d == 0
                 and (d == 1 or d * w2p <= (3 if i8 else 6) * 1920)
@@ -598,9 +600,9 @@ def _full_kernel(
     static_argnames=(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
-        "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "mpack",
-        "interpret", "frame_h", "frame_pad", "zone_h", "p_split", "ftrans",
-        "i8",
+        "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "gchunk",
+        "mpack", "interpret", "frame_h", "frame_pad", "zone_h", "p_split",
+        "ftrans", "i8",
     ),
 )
 def raisr_pass_pallas_full(
@@ -623,6 +625,7 @@ def raisr_pass_pallas_full(
     tb2: int = 8,
     rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
     cchunk: int = 0,  # >0: column-chunked matmul+select (chunk lanes)
+    gchunk: int = 0,  # >0: base rows per grouped matmul (A/B knob; 0 = auto)
     mpack: bool = True,  # dense-K + M-packed single matmul (see kernel)
     interpret: bool = False,
     frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
@@ -774,6 +777,7 @@ def raisr_pass_pallas_full(
         patch_size=patch_size,
         mxu_passes=mxu_passes,
         cchunk=cchunk,
+        gchunk_req=gchunk,
         mpack=mpack,
         band=band,
         rowbatch=rowbatch,
