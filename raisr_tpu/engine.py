@@ -106,6 +106,7 @@ class RaisrEngine:
                 self._statics, backend_interpret=True
             )
         self._np_out_dtype = np.uint8 if cfg.bits == 8 else np.uint16
+        self._device_step = None  # lazy jit for process_batch_device
 
         self._filters = tuple(jnp.asarray(b.filters) for b in self.model.banks)
         self._qstr = tuple(jnp.asarray(b.qstr) for b in self.model.banks)
@@ -248,3 +249,44 @@ class RaisrEngine:
         out_h, out_w = self.cfg.output_size(h, w)
         return process_plane_uv_batch(batch_uv, out_h, out_w, self.cfg.bits,
                                       self.cfg.resize_mode)
+
+    def process_batch_device(
+        self,
+        batch_y: jnp.ndarray,
+        batch_u: jnp.ndarray | None = None,
+        batch_v: jnp.ndarray | None = None,
+    ):
+        """Device-resident serving step: packed integer planes in, packed
+        integer planes out, ONE jit end to end.
+
+        The zero-copy analogue of the reference's hw-frames OpenCL filter
+        (/root/reference/ffmpeg/vf_raisr_opencl.c:130, which passes cl_mem
+        plane pointers so frames never round-trip through host memory): a
+        decoder leaves uint8/uint16 planes on-device, this step unpacks to
+        f32, runs the full RAISR pipeline plus the UV cheap upscale, and
+        repacks to the integer dtype — all inside one compiled computation,
+        so an encoder stage can consume the outputs without any host copy.
+        tests/test_stream.py::test_device_resident_step asserts the chain
+        executes under jax.transfer_guard("disallow").
+
+        Y is [N, H, W] uint8/uint16 (or integer-valued float); U/V are
+        optional [N, Hc, Wc] chroma batches. Returns device arrays of the
+        configured output dtype. See docs/API.md "Device-resident serving".
+        """
+        dtype = jnp.uint8 if self.cfg.bits == 8 else jnp.uint16
+
+        def step(y, u, v):
+            out_y = self.process_batch_y(y.astype(jnp.float32)).astype(dtype)
+            out_u = (
+                self.process_batch_uv(u.astype(jnp.float32)).astype(dtype)
+                if u is not None else None
+            )
+            out_v = (
+                self.process_batch_uv(v.astype(jnp.float32)).astype(dtype)
+                if v is not None else None
+            )
+            return out_y, out_u, out_v
+
+        if self._device_step is None:
+            self._device_step = jax.jit(step, static_argnames=())
+        return self._device_step(batch_y, batch_u, batch_v)

@@ -51,3 +51,43 @@ def test_batched_stream_identical_to_single():
         assert np.array_equal(s.y, b.y)
         assert np.array_equal(s.u, b.u)
         assert np.array_equal(s.v, b.v)
+
+
+def test_device_resident_step():
+    """process_batch_device: decode -> upscale -> encode stays on-device.
+
+    The whole step (uint8 planes in, uint8 planes out, Y + UV) runs as ONE
+    jit under jax.transfer_guard("disallow") — any host round-trip inside
+    the chain would raise. This is the zero-copy analogue of the reference's
+    hw-frames OpenCL filter (vf_raisr_opencl.c:130)."""
+    import jax
+    import jax.numpy as jnp
+
+    engine = RaisrEngine(RaisrConfig(filterfolder=FOLDER, passes=2))
+    rng = np.random.default_rng(5)
+    y = rng.integers(16, 235, (3, 40, 64)).astype(np.uint8)
+    u = rng.integers(16, 240, (3, 20, 32)).astype(np.uint8)
+    v = rng.integers(16, 240, (3, 20, 32)).astype(np.uint8)
+
+    # explicit host->device transfers (a real decoder's planes would already
+    # be device-resident)
+    y_d, u_d, v_d = (jax.device_put(a) for a in (y, u, v))
+    engine.process_batch_device(y_d, u_d, v_d)  # warm/compile outside guard
+
+    with jax.transfer_guard("disallow"):
+        oy, ou, ov = engine.process_batch_device(y_d, u_d, v_d)
+        # an "encoder" stage consuming the outputs on-device
+        checksum = jnp.sum(oy.astype(jnp.uint32)) + jnp.sum(
+            ou.astype(jnp.uint32)
+        ) + jnp.sum(ov.astype(jnp.uint32))
+
+    assert isinstance(oy, jax.Array) and oy.dtype == jnp.uint8
+    assert oy.shape == (3, 80, 128) and ou.shape == (3, 40, 64)
+
+    # outputs equal the per-frame numpy path exactly
+    for i in range(3):
+        ref = engine.process(Frame(y=y[i], u=u[i], v=v[i]))
+        np.testing.assert_array_equal(np.asarray(oy[i]), ref.y)
+        np.testing.assert_array_equal(np.asarray(ou[i]), ref.u)
+        np.testing.assert_array_equal(np.asarray(ov[i]), ref.v)
+    assert int(checksum) > 0
