@@ -226,3 +226,23 @@ def test_row_sharded_15x():
     # bit-identical: the 1.5x cheap upscale runs in exact-integer arithmetic
     # (resize._bilinear_exact_rounded) in both the striped and single paths
     np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+
+def test_engine_shard_8k_geometry():
+    """BASELINE config 5 sharding shape: a v5e-8-slice layout (data=4,rows=2
+    on the 8-device mesh) at the 8K output width (w=7680, the kernel's wide
+    tb2=32 branch trigger — covered on real Mosaic by tools/tpu_check.py
+    full_kernel_8k_wide). Height is kept small so the CPU-mesh run stays
+    cheap; the stripe/batch arithmetic being validated is width-driven.
+    Reference analogue: RNLSetRes plans arbitrary geometries
+    (Raisr.cpp:1681-1829)."""
+    from raisr_tpu.engine import RaisrEngine
+
+    cfg = RaisrConfig(filterfolder=FOLDER, passes=2, backend="reference")
+    base = RaisrEngine(cfg)
+    sharded = RaisrEngine(cfg, shard="data=4,rows=2")
+    batch = jnp.stack([_image(64, 3840, seed=20 + i) for i in range(4)])
+    out = sharded.process_batch_y(batch)
+    assert out.shape == (4, 128, 7680)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(base.process_batch_y(batch))
+    )

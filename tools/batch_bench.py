@@ -1,7 +1,9 @@
 """Throughput of the production batched engine path (guard-banded frame
 stack, per-frame zone masks) on real TPU, across precision tiers.
 
-Prints ms/frame and fps for 1080p->4K on engine.process_batch_y.
+Prints ms/frame and fps for 1080p->4K on engine.process_batch_y, plus
+BASELINE config-5 rows (4K->8K, the w=7680 tb2=32 wide-kernel geometry;
+filter with `8K`). Usage: python tools/batch_bench.py [FILTER [N]].
 """
 
 import sys
@@ -35,17 +37,18 @@ def fence(x):
     return float(jnp.sum(x))
 
 
-def bench(name, cfg):
+def bench(name, cfg, h=None, w=None):
     """Per-frame time from the slope between two batch sizes — cancels the
     remote-execution tunnel's large per-dispatch+fence overhead."""
     if ONLY and ONLY not in name:
         return
+    h, w = h or H, w or W
     eng = RaisrEngine(cfg)
     salt = float(time.time_ns() % 100003) / 1000.0
     rng = np.random.default_rng(0)
     hi = 235 if cfg.bits == 8 else 940
     base = np.clip(
-        rng.integers(16, hi, (N, H, W)).astype(np.float32) + salt, 0, hi
+        rng.integers(16, hi, (N, h, w)).astype(np.float32) + salt, 0, hi
     )
 
     def measure(n):
@@ -137,3 +140,20 @@ bench_full_yuv("fullYUV420 bf16-tier 2-pass",
                            dtype="bfloat16"))
 bench_full_yuv("fullYUV420 f32-grade 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
+
+# BASELINE config 5: 4K->8K (w=7680 output triggers the kernel's wide
+# tb2=32 geometry). The FP16-class tier named by the config is bf16; the
+# f32-grade and 10-bit fast rows complete the tier sweep. Multi-stream
+# sharding over a v5e-8 slice is validated separately (tests/test_sharding
+# CPU mesh + __graft_entry__.dryrun_multichip); per-chip throughput here
+# IS the per-chip term of that data-parallel scaling (no inter-chip
+# communication in DP batched mode).
+bench("8K: 4Kto8K bf16-tier 2-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
+                  dtype="bfloat16"), h=2160, w=3840)
+bench("8K: 4Kto8K f32-grade 2-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"),
+      h=2160, w=3840)
+bench("8K: 4Kto8K fast-tier 10-bit 2-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas", bits=10,
+                  dtype="bfloat16"), h=2160, w=3840)

@@ -182,6 +182,21 @@ def check_full_kernel_on_hw():
     return f"max {d.max():.3f}, frac>0 {frac:.5f}"
 
 
+@check("full_kernel_8k_wide")
+def check_full_kernel_8k_wide_on_hw():
+    """BASELINE config 5 geometry: a w=7680 plane takes the kernel's wide
+    branch (w > 4608 -> tb2=32, pipeline.py pass statics) with w2p=3840
+    lanes. Exercises that geometry under real Mosaic against the exact taps
+    pipeline — same exactness bar as the 4K-class mxu2 check."""
+    import dataclasses
+
+    _, _, statics_p, filters, qstr, qcoh = _statics()
+    statics_t = dataclasses.replace(statics_p, backend="taps")
+    img = _img(64, 7680, seed=9)
+    d, frac = _pass_compare(statics_p, statics_t, 0, filters, qstr, qcoh, img)
+    return f"max {d.max():.3f}, frac>0 {frac:.5f}"
+
+
 @check("full_kernel_mxu3_10bit")
 def check_full_kernel_mxu3_on_hw():
     import dataclasses
@@ -438,6 +453,7 @@ CHECKS = [
     bench_dispatch_overhead,
     check_kernel_correctness,
     check_full_kernel_on_hw,
+    check_full_kernel_8k_wide_on_hw,
     check_full_kernel_mxu3_on_hw,
     check_bf16_tier_on_hw,
     check_p_split_tier_on_hw,
