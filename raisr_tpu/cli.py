@@ -50,7 +50,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--backend", default="auto",
                    choices=["auto", "reference", "xla", "pallas"])
     p.add_argument("--dtype", default="float32",
-                   choices=["float32", "bfloat16", "int8"],
+                   choices=["auto", "float32", "bfloat16", "int8"],
                    help="compute precision tier: float32 matches the "
                         "reference's AVX2/AVX512 quality; bfloat16 is the "
                         "AVX512-FP16 analogue (faster; measured strictly "
@@ -61,7 +61,10 @@ def _add_common(p: argparse.ArgumentParser):
                         "of the f32-grade tier). int8 (8-bit content only) "
                         "runs the filter matmul as fixed-point hi/lo int8 "
                         "pairs on the MXU's double-rate int8 path — "
-                        "quality between bfloat16 and float32")
+                        "quality between bfloat16 and float32. auto mirrors "
+                        "the reference's production ISA auto-pick "
+                        "(Raisr.cpp:1492-1501): the fastest tier passing "
+                        "the 0.05 dB ground-truth bar (= bfloat16)")
     p.add_argument("--resize-mode", default="bilinear",
                    choices=["bilinear", "cubic", "lanczos"],
                    help="cheap-upscale resampler (the reference's "

@@ -96,7 +96,13 @@ class RaisrConfig:
     # bfloat16 is the TPU analogue of the AVX512FP16 path; int8 (8-bit
     # content only) runs the filter matmul as int8 hi/lo fixed-point pairs
     # on the MXU's double-rate int8 path — between bfloat16 and float32 in
-    # quality (ops/pallas/full_kernel.py i8).
+    # quality (ops/pallas/full_kernel.py i8). "auto" mirrors the reference's
+    # production behavior — RNLInit auto-selects the fastest ISA tier the
+    # machine supports, FP16 first (Raisr.cpp:1492-1501) — and resolves to
+    # the fastest tier that passes the BASELINE ground-truth quality bar
+    # (dPSNR-vs-GT <= 0.05 dB, asserted in tests/test_reference_parity.py):
+    # bfloat16 (8-bit: the bf16 fast tier; 10/16-bit: the p_split exact-patch
+    # packing). The conservative default stays float32.
     dtype: str = "float32"
     # Replicate the reference hot loop's unroll-dependent ragged right edge
     # (processed cols end at 6 + 8*floor((W-12)/8), Raisr.cpp:1066,1247-1250)
@@ -121,6 +127,10 @@ class RaisrConfig:
             raise RaisrError(f"two-pass mode: {self.mode} is NOT supported.")
         if not (1.0 < self.ratio <= 4.0):
             raise RaisrError(f"ratio: {self.ratio} is NOT supported.")
+        if self.dtype == "auto":
+            # reference parity: auto-select the production fast tier
+            # (Raisr.cpp:1492-1501 picks AVX512FP16 when supported)
+            object.__setattr__(self, "dtype", "bfloat16")
         if self.dtype not in ("float32", "bfloat16", "int8"):
             raise RaisrError(f"dtype: {self.dtype} is NOT supported.")
         if self.dtype == "int8" and self.bits != 8:

@@ -181,6 +181,15 @@ class TestConfigValidation:
         with pytest.raises(RaisrError):
             RaisrConfig(blending=0)
 
+    def test_dtype_auto_selects_production_fast_tier(self):
+        """dtype=auto mirrors RNLInit's ISA auto-pick (Raisr.cpp:1492-1501,
+        FP16 first): resolves to the bf16-class tier at every bit depth."""
+        assert RaisrConfig(dtype="auto").dtype == "bfloat16"
+        assert RaisrConfig(dtype="auto", bits=10).dtype == "bfloat16"
+        assert RaisrConfig(dtype="auto", ratio=1.5).dtype == "bfloat16"
+        with pytest.raises(RaisrError, match="NOT supported"):
+            RaisrConfig(dtype="float16")
+
     def test_int8_requires_8bit_ratio2(self):
         with pytest.raises(RaisrError, match="8-bit"):
             RaisrConfig(dtype="int8", bits=10)
