@@ -90,6 +90,7 @@ def _full_kernel(
     rowbatch: int,
     cchunk: int,
     gchunk_req: int,
+    hashloop_req: bool,
     mpack: bool,
     k1d: tuple,
     nf: float,
@@ -212,88 +213,118 @@ def _full_kernel(
             t = jnp.where(ci == ri + i, jnp.float32(kv), jnp.float32(0.0))
             vband = t if vband is None else vband + t
 
-    def vert(mp):
+    # gradient-product maps stay whole-band SSA values: the per-row-range
+    # vert conv below slices them, so every product element is computed once
+    # whether the hash runs as a prologue or per matmul group (hashloop)
+    prods = {}
+    for par, gx, gy in (("e", gx_e, gy_e), ("o", gx_o, gy_o)):
+        prods[par] = (gx * gx, gx * gy, gy * gy)
+
+    def vert_rows(mp, lo, hi):
+        # vert-conv output rows [lo, hi): row v reads mp rows v..v+nk-1 with
+        # the same per-row tap order as the whole-band form — the sliced
+        # (hashloop) and prologue schedules are therefore bit-identical
         if use_vmxu:
             return lax.dot_general(
-                vband, mp, (((1,), (0,)), ((), ())),
+                vband[lo:hi, :], mp, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if not k_sym:
             acc = None
             for i, kv in enumerate(k1d):
-                t = mp[i : i + n_vert, :] * kv
+                t = mp[lo + i : hi + i, :] * kv
                 acc = t if acc is None else acc + t
             return acc
         acc = None
         for i in range(nk // 2):
             i2 = nk - 1 - i
-            t = (mp[i : i + n_vert, :] + mp[i2 : i2 + n_vert, :]) * k1d[i]
+            t = (mp[lo + i : hi + i, :] + mp[lo + i2 : hi + i2, :]) * k1d[i]
             acc = t if acc is None else acc + t
         mid = nk // 2
-        return acc + mp[mid : mid + n_vert, :] * k1d[mid]
+        return acc + mp[lo + mid : hi + mid, :] * k1d[mid]
 
-    v_maps = {}
-    for par, gx, gy in (("e", gx_e, gy_e), ("o", gx_o, gy_o)):
-        v_maps[par] = (vert(gx * gx), vert(gx * gy), vert(gy * gy))
+    # ---- hash (tensor conv + eigenanalysis + quantization) ------------------
+    def compute_hash_rows(lo, hi):
+        """Write bucket indices for vert rows [lo, hi) of both col parities."""
+        v_maps = {
+            par: tuple(vert_rows(mp, lo, hi) for mp in prods[par])
+            for par in ("e", "o")
+        }
 
-    def horiz(par):
-        def src_off(j):
-            """(source parity plane, lane offset) of horizontal tap j."""
-            if par == "e":
-                if j % 2 == 1:
-                    return "e", (j - 5) // 2
-                return "o", (j - 6) // 2
-            if j % 2 == 0:
-                return "e", (j - 4) // 2
-            return "o", (j - 5) // 2
+        def horiz(par):
+            def src_off(j):
+                """(source parity plane, lane offset) of horizontal tap j."""
+                if par == "e":
+                    if j % 2 == 1:
+                        return "e", (j - 5) // 2
+                    return "o", (j - 6) // 2
+                if j % 2 == 0:
+                    return "e", (j - 4) // 2
+                return "o", (j - 5) // 2
 
-        outs = []
-        for comp in range(3):
-            acc = None
-            for j in range(nk // 2 + 1 if k_sym else nk):
-                sp1, off1 = src_off(j)
-                t = _roll(v_maps[sp1][comp], -off1)
-                j2 = nk - 1 - j
-                if k_sym and j2 != j:
-                    # mirrored tap has the same parity class -> same source
-                    sp2, off2 = src_off(j2)
-                    t = t + _roll(v_maps[sp2][comp], -off2)
-                t = t * k1d[j]
-                acc = t if acc is None else acc + t
-            outs.append(acc * nf)
-        return outs
+            outs = []
+            for comp in range(3):
+                acc = None
+                for j in range(nk // 2 + 1 if k_sym else nk):
+                    sp1, off1 = src_off(j)
+                    t = _roll(v_maps[sp1][comp], -off1)
+                    j2 = nk - 1 - j
+                    if k_sym and j2 != j:
+                        # mirrored tap has the same parity class -> same source
+                        sp2, off2 = src_off(j2)
+                        t = t + _roll(v_maps[sp2][comp], -off2)
+                    t = t * k1d[j]
+                    acc = t if acc is None else acc + t
+                outs.append(acc * nf)
+            return outs
 
-    # ---- hash --------------------------------------------------------------
-    for c0, par in ((0, "e"), (1, "o")):
-        a, b, d = horiz(par)
-        a = a[:, 3 : 3 + w2p]
-        b = b[:, 3 : 3 + w2p]
-        d = d[:, 3 : 3 + w2p]
-        t_tr = a + d
-        det = a * d - b * b
-        sqr = jnp.sqrt(jnp.maximum(t_tr * t_tr * 0.25 - det, 0.0))
-        l1 = t_tr * 0.5 + sqr
-        l2 = jnp.maximum(t_tr * 0.5 - sqr, 0.0)
-        x = jnp.where(b != 0.0, l1 - d, 1.0)
-        angle = atan2_approx(b, x)
-        angle = angle + jnp.where(angle < 0.0, jnp.float32(3.14159265358979), 0.0)
-        sl1 = jnp.sqrt(l1)
-        sl2 = jnp.sqrt(l2)
-        coh = (sl1 - sl2) / (sl1 + sl2 + 1e-17)
-        ai = jnp.clip(
-            jnp.floor(angle * (qangle / 3.14159265358979)).astype(jnp.int32),
-            0,
-            qangle - 1,
-        )
-        si = jnp.zeros_like(ai)
-        for edge in qstr:
-            si = si + (jnp.float32(edge) <= l1).astype(jnp.int32)
-        ci = jnp.zeros_like(ai)
-        for edge in qcoh:
-            ci = ci + (jnp.float32(edge) <= coh).astype(jnp.int32)
-        bkt_scr[c0][0:n_vert, :] = (
-            ai * (qstrength * qcoherence) + si * qcoherence + ci
-        )
+        for c0, par in ((0, "e"), (1, "o")):
+            a, b, d = horiz(par)
+            a = a[:, 3 : 3 + w2p]
+            b = b[:, 3 : 3 + w2p]
+            d = d[:, 3 : 3 + w2p]
+            t_tr = a + d
+            det = a * d - b * b
+            sqr = jnp.sqrt(jnp.maximum(t_tr * t_tr * 0.25 - det, 0.0))
+            l1 = t_tr * 0.5 + sqr
+            l2 = jnp.maximum(t_tr * 0.5 - sqr, 0.0)
+            x = jnp.where(b != 0.0, l1 - d, 1.0)
+            angle = atan2_approx(b, x)
+            angle = angle + jnp.where(
+                angle < 0.0, jnp.float32(3.14159265358979), 0.0
+            )
+            sl1 = jnp.sqrt(l1)
+            sl2 = jnp.sqrt(l2)
+            coh = (sl1 - sl2) / (sl1 + sl2 + 1e-17)
+            ai = jnp.clip(
+                jnp.floor(angle * (qangle / 3.14159265358979)).astype(jnp.int32),
+                0,
+                qangle - 1,
+            )
+            si = jnp.zeros_like(ai)
+            for edge in qstr:
+                si = si + (jnp.float32(edge) <= l1).astype(jnp.int32)
+            ci = jnp.zeros_like(ai)
+            for edge in qcoh:
+                ci = ci + (jnp.float32(edge) <= coh).astype(jnp.int32)
+            bkt_scr[c0][lo:hi, :] = (
+                ai * (qstrength * qcoherence) + si * qcoherence + ci
+            )
+
+    # hashloop (static arg; RAISR_ABLATE=hashloop forces it for A/B runs):
+    # instead of hashing the whole band up front, hash each matmul group's
+    # rows BETWEEN that group's async dot_general issue and its selects.
+    # The tensor conv + hash are independent of the matmul, so Mosaic's
+    # scheduler gets ~3 ms/pass of VPU work it may co-issue under the MXU
+    # (the stages are otherwise measured strictly additive —
+    # docs/PERFORMANCE.md). Values are bit-identical by construction:
+    # identical element ops in identical per-row order, only program
+    # position changes (asserted in tests/test_pallas_fused.py).
+    hashloop = (
+        (hashloop_req or _ABLATE == "hashloop") and mpack and cchunk <= 0
+    )
+    if not hashloop:
+        compute_hash_rows(0, n_vert)
 
     # ---- PT assembly + matmul + select, raw rows t in [-1, band+2) ---------
     # ONE patch block of patch_size+1 rows serves BOTH row phases: the taps
@@ -371,6 +402,12 @@ def _full_kernel(
                         f_ref[...], pt8_ref[:, cols], dims,
                         preferred_element_type=jnp.int32,
                     )
+                    if hashloop and g0_ == 0:
+                        # this group's hash rows, issued after the dot so the
+                        # VPU work can run under the in-flight MXU op
+                        compute_hash_rows(
+                            2 * kb, min(2 * (kb + rowbatch), n_vert)
+                        )
                     gt_all = (
                         gt2[0 : 4 * NB, :] * 256
                         + gt2[4 * NB : 8 * NB, :]
@@ -381,6 +418,10 @@ def _full_kernel(
                         f_ref[...], pt_ref[:, cols], dims,
                         preferred_element_type=jnp.float32,
                     )
+                    if hashloop and g0_ == 0:
+                        compute_hash_rows(
+                            2 * kb, min(2 * (kb + rowbatch), n_vert)
+                        )
                 for b in range(g0_, g0_ + gb):
                     bc = slice((b - g0_) * w2p, (b - g0_ + 1) * w2p)
                     for r0 in range(2):
@@ -601,8 +642,8 @@ def _full_kernel(
         "k1d", "nf", "qstr", "qcoh", "qangle", "qstrength", "qcoherence",
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "gchunk",
-        "mpack", "interpret", "frame_h", "frame_pad", "zone_h", "p_split",
-        "ftrans", "i8",
+        "hashloop", "mpack", "interpret", "frame_h", "frame_pad", "zone_h",
+        "p_split", "ftrans", "i8",
     ),
 )
 def raisr_pass_pallas_full(
@@ -626,6 +667,7 @@ def raisr_pass_pallas_full(
     rowbatch: int = 0,  # phase rows per matmul; 0 = all (tb2 + 2)
     cchunk: int = 0,  # >0: column-chunked matmul+select (chunk lanes)
     gchunk: int = 0,  # >0: base rows per grouped matmul (A/B knob; 0 = auto)
+    hashloop: bool = False,  # hash per matmul group (MXU/VPU overlap; see kernel)
     mpack: bool = True,  # dense-K + M-packed single matmul (see kernel)
     interpret: bool = False,
     frame_h: int = 0,  # >0: plane is a guard-banded vertical frame stack
@@ -778,6 +820,7 @@ def raisr_pass_pallas_full(
         mxu_passes=mxu_passes,
         cchunk=cchunk,
         gchunk_req=gchunk,
+        hashloop_req=hashloop,
         mpack=mpack,
         band=band,
         rowbatch=rowbatch,

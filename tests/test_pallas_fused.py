@@ -585,3 +585,45 @@ def test_single_phase_kernel_p_split_10bit(tmp_path):
     mse = float((diff.astype(np.float64) ** 2).mean())
     psnr = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
     assert psnr >= 40.0, psnr
+
+
+@pytest.mark.parametrize("tier_kw", [
+    dict(mxu_passes=2),                        # f32-grade
+    dict(mxu_passes=1),                        # bf16 fast tier
+    dict(mxu_passes=2, p_split=True, bits=10), # 10-bit fast tier
+    dict(i8=True),                             # int8-pair tier
+])
+def test_hashloop_bit_identical(tier_kw):
+    """hashloop=True moves the tensor-conv+hash stage from the band prologue
+    into the matmul group loop (so Mosaic can co-issue the VPU work under
+    the in-flight MXU op). It is a pure program-order change: identical
+    element ops in identical per-row order, so the output must be
+    bit-identical to the prologue schedule across all tiers — including
+    multi-group bands (rowbatch < tb2 + 2) where group g's selects read a
+    bucket row written by group g-1."""
+    import jax.numpy as jnp
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.model.loader import load_model
+    from raisr_tpu.model.gaussian import gaussian_kernel_1d, normalization_factor
+    from raisr_tpu.ops.pallas.full_kernel import raisr_pass_pallas_full
+
+    bits = tier_kw.pop("bits", 8)
+    folder = "/root/reference/filters_2x/filters_highres"
+    cfg = RaisrConfig(filterfolder=folder, bits=bits)
+    model = load_model(folder, cfg)
+    bank = model.banks[0]
+    img = _smooth(36, 180, bits, seed=7)
+    kw = dict(
+        k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
+        nf=normalization_factor(bits),
+        qstr=tuple(float(v) for v in bank.qstr),
+        qcoh=tuple(float(v) for v in bank.qcoh),
+        min_val=cfg.min_val, max_val=cfg.max_val, interpret=True,
+        tb2=8, rowbatch=5,  # 2 groups per band: exercises the cross-group
+        **tier_kw,          # bucket-row dependency (row 2*kb - 1)
+    )
+    base = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), **kw))
+    loop = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), hashloop=True, **kw))
+    np.testing.assert_array_equal(loop, base)
