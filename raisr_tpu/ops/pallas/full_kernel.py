@@ -383,13 +383,19 @@ def _full_kernel(
 
             # matmul granularity: gchunk base rows per [864, K] matmul
             # (gt is [864, gchunk*w2p] f32 — or [1728, .] i32 for the int8
-            # pair, hence the halved threshold; keep it comfortably in
-            # VMEM): the largest divisor of rowbatch under the target,
-            # overridable for A/B sweeps via gchunk_req
+            # pair, hence the halved threshold): the largest divisor of
+            # rowbatch keeping gt <= [864, 3840] f32 = 13.3 MB, overridable
+            # for A/B sweeps via gchunk_req. Mosaic pins in-flight gt
+            # results in scoped VMEM (one per software-pipelined matmul),
+            # so the cap sets the kernel's VMEM high-water mark: the old
+            # 11520-col target overran the 124 MB scoped limit by 3.6 MB at
+            # the 8K-wide geometry (w2p=3840, auto gchunk=2). At 4K this
+            # picks gchunk=2 — also the same-day-measured fastest (9.787
+            # ms/pass vs auto(6) 9.997, gchunk=1 9.990; round-4 kbench).
             gchunk = gchunk_req if gchunk_req > 0 else max(
                 d for d in range(1, rowbatch + 1)
                 if rowbatch % d == 0
-                and (d == 1 or d * w2p <= (3 if i8 else 6) * 1920)
+                and (d == 1 or d * w2p <= (5760 if i8 else 3840))
             )
             for g0_ in range(0, rowbatch, gchunk):
                 gb = min(gchunk, rowbatch - g0_)
