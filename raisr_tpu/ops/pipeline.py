@@ -158,8 +158,16 @@ def raisr_pass(
             # at tb2=32 (12.4 ms/pass). Clamped by plane height so short
             # planes (test images, short stripes) don't process
             # padding-only band rows.
+            # Wide (8K-class) outputs need a shorter band: Mosaic's scoped
+            # VMEM demand is ~proportional to band_rows x plane_w (measured:
+            # the 8K geometry at tb2=32 computes 127.63M vs the 124M limit
+            # — and the total is INDEPENDENT of the matmul group size, so
+            # the driver is whole-band intermediates, not gt). tb2=24 puts
+            # 8K-wide at ~0.8x that demand; the 3/4-slot kernels carry two
+            # extra staging planes, so they drop to 16.
             tb2=min(
-                (40 if s.mxu_passes < 3 else 32) if w <= 4608 else 32,
+                (40 if s.mxu_passes < 3 else 32) if w <= 4608
+                else (24 if s.mxu_passes < 3 and not s.p_split else 16),
                 _pad_up(-(-h // 2), 8),
             ),
             frame_h=frame_h,

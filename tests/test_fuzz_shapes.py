@@ -30,7 +30,7 @@ def _img(h, w, seed):
         (17, 129, 2.0, 1),  # shallow and wide-ish, odd width
         (22, 34, 1.5, 1),   # single-phase kernel, non-multiple-of-16 dims
         (16, 16, 2.0, 1),   # minimum square
-        (12, 4700, 2.0, 1),  # w > 4608: the tb2=32 wide-plane band config
+        (12, 4700, 2.0, 1),  # w > 4608: the wide-plane band config (tb2=24)
     ],
 )
 def test_fused_kernel_awkward_shapes_match_taps(h, w, ratio, passes):

@@ -230,7 +230,7 @@ def test_row_sharded_15x():
 def test_engine_shard_8k_geometry():
     """BASELINE config 5 sharding shape: a v5e-8-slice layout (data=4,rows=2
     on the 8-device mesh) at the 8K output width (w=7680, the kernel's wide
-    tb2=32 branch trigger — covered on real Mosaic by tools/tpu_check.py
+    wide-band branch trigger (tb2=24) — covered on real Mosaic by tools/tpu_check.py
     full_kernel_8k_wide). Height is kept small so the CPU-mesh run stays
     cheap; the stripe/batch arithmetic being validated is width-driven.
     Reference analogue: RNLSetRes plans arbitrary geometries

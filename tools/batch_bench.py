@@ -2,7 +2,7 @@
 stack, per-frame zone masks) on real TPU, across precision tiers.
 
 Prints ms/frame and fps for 1080p->4K on engine.process_batch_y, plus
-BASELINE config-5 rows (4K->8K, the w=7680 tb2=32 wide-kernel geometry;
+BASELINE config-5 rows (4K->8K, the w=7680 tb2=24 wide-kernel geometry;
 filter with `8K`). Usage: python tools/batch_bench.py [FILTER [N]].
 """
 
@@ -142,7 +142,7 @@ bench_full_yuv("fullYUV420 f32-grade 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 
 # BASELINE config 5: 4K->8K (w=7680 output triggers the kernel's wide
-# tb2=32 geometry). The FP16-class tier named by the config is bf16; the
+# tb2=24 wide-band geometry). The FP16-class tier named by the config is bf16; the
 # f32-grade and 10-bit fast rows complete the tier sweep. Multi-stream
 # sharding over a v5e-8 slice is validated separately (tests/test_sharding
 # CPU mesh + __graft_entry__.dryrun_multichip); per-chip throughput here

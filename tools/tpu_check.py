@@ -185,7 +185,7 @@ def check_full_kernel_on_hw():
 @check("full_kernel_8k_wide")
 def check_full_kernel_8k_wide_on_hw():
     """BASELINE config 5 geometry: a w=7680 plane takes the kernel's wide
-    branch (w > 4608 -> tb2=32, pipeline.py pass statics) with w2p=3840
+    branch (w > 4608 -> tb2=24, pipeline.py pass statics) with w2p=3840
     lanes. Exercises that geometry under real Mosaic against the exact taps
     pipeline — same exactness bar as the 4K-class mxu2 check."""
     import dataclasses
