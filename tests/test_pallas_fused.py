@@ -588,9 +588,13 @@ def test_single_phase_kernel_p_split_10bit(tmp_path):
 
 
 @pytest.mark.parametrize("tier_kw", [
+    # two params cover both hashloop-relevant dot branches: mxu2 drives the
+    # shared non-i8 matmul interleave (mxu1/p_split reuse that exact code,
+    # differing only in staging the interleave never touches), i8 drives
+    # its own int8 dot + combine branch. (mxu1 and p_split params were
+    # dropped in round 4: 650 s of suite time for no added hashloop
+    # coverage.)
     dict(mxu_passes=2),                        # f32-grade
-    dict(mxu_passes=1),                        # bf16 fast tier
-    dict(mxu_passes=2, p_split=True, bits=10), # 10-bit fast tier
     dict(i8=True),                             # int8-pair tier
 ])
 def test_hashloop_bit_identical(tier_kw):
@@ -612,7 +616,7 @@ def test_hashloop_bit_identical(tier_kw):
     cfg = RaisrConfig(filterfolder=folder, bits=bits)
     model = load_model(folder, cfg)
     bank = model.banks[0]
-    img = _smooth(36, 180, bits, seed=7)
+    img = _smooth(20, 180, bits, seed=7)  # 2 bands at tb2=8 (h2p=16)
     kw = dict(
         k1d=tuple(float(v) for v in gaussian_kernel_1d(11)),
         nf=normalization_factor(bits),
