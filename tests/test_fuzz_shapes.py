@@ -26,8 +26,10 @@ def _img(h, w, seed):
 @pytest.mark.parametrize(
     "h,w,ratio,passes",
     [
-        (23, 31, 2.0, 2),   # odd both dims, tiny (band clamp, ragged edge)
-        (17, 129, 2.0, 1),  # shallow and wide-ish, odd width
+        pytest.param(23, 31, 2.0, 2, marks=pytest.mark.slow),
+        # ^ odd both dims, tiny (band clamp, ragged edge); 2-pass = heaviest
+        pytest.param(17, 129, 2.0, 1, marks=pytest.mark.slow),
+        # ^ shallow and wide-ish, odd width
         (22, 34, 1.5, 1),   # single-phase kernel, non-multiple-of-16 dims
         (16, 16, 2.0, 1),   # minimum square
         (12, 4700, 2.0, 1),  # w > 4608: the wide-plane band config (tb2=24)
@@ -49,6 +51,7 @@ def test_fused_kernel_awkward_shapes_match_taps(h, w, ratio, passes):
     assert np.median(d) == 0.0
 
 
+@pytest.mark.slow
 def test_fast_tier_awkward_shape_runs():
     """The p_split (10-bit fast) tier on an odd shape: shape/dtype sanity
     (quality is covered by test_pallas_fused / tpu_check)."""
@@ -72,6 +75,7 @@ def test_fast_tier_awkward_shape_runs():
     assert out.min() >= 64 and out.max() <= 940
 
 
+@pytest.mark.slow
 def test_vconv_mxu_ablation_matches_taps():
     """RAISR_ABLATE=vconv_mxu (vertical tensor conv as a banded-matrix MXU
     matmul — measured -6.9% mxu1 / -1.2% mxu2 on hardware but DEFAULT OFF:

@@ -448,6 +448,7 @@ def test_single_phase_kernel_frame_stacking():
         assert np.array_equal(got, single), (i, np.abs(got - single).max())
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
 )
@@ -493,6 +494,7 @@ def test_full_pass_kernel_i8_tier():
     assert psnr >= 45.0, psnr
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(
     not REFERENCE_ROOT.exists(), reason="reference filter banks not available"
 )

@@ -170,6 +170,7 @@ class TestEngine:
         # two chained passes compound bucket-flip divergence slightly
         _compare(ours, oracle, max_frac=0.02, max_abs=64)
 
+    @pytest.mark.slow
     def test_explicit_pallas_backend_interprets_off_tpu(
         self, filters_2x_highres_mod
     ):

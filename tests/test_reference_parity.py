@@ -317,7 +317,14 @@ def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
 
 @pytest.mark.parametrize(
     "dtype,bits",
-    [("bfloat16", 8), ("int8", 8), ("bfloat16", 10)],
+    [
+        # the headline (bf16) tier's BASELINE quality criterion stays in the
+        # default suite; the other fast tiers exercise the same assertion and
+        # run in CI (marked slow — ~3 min each in interpret mode)
+        ("bfloat16", 8),
+        pytest.param("int8", 8, marks=pytest.mark.slow),
+        pytest.param("bfloat16", 10, marks=pytest.mark.slow),
+    ],
     ids=["bf16_tier", "i8_tier", "p_split_10bit"],
 )
 def test_psnr_vs_ground_truth_fast_tiers(tmp_path, dtype, bits):

@@ -159,7 +159,10 @@ def test_engine_shard_errors():
         eng2.upscale_y(_image(30, 28))  # 30/4 not integral
 
 
-@pytest.mark.parametrize("blending", [1, 2])
+@pytest.mark.parametrize(
+    "blending",
+    [1, pytest.param(2, marks=pytest.mark.slow)],
+)
 def test_row_sharded_pallas_fused_matches_single(blending):
     """Row stripes must run the SAME whole-pass fused kernel as a full frame
     (VERDICT r2 #2): with global row0/zone_h zone masks the sharded pallas
@@ -180,6 +183,7 @@ def test_row_sharded_pallas_fused_matches_single(blending):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
 
 
+@pytest.mark.slow
 def test_row_sharded_pallas_fused_two_pass():
     import dataclasses
 
