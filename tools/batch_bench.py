@@ -73,20 +73,21 @@ def bench(name, cfg, h=None, w=None):
     )
 
 
-def bench_full_yuv(name, cfg):
+def bench_full_yuv(name, cfg, h=None, w=None):
     """Full 4:2:0 frame (Y RAISR + both chroma cheap upscales) — the
     reference's per-frame unit of work (RNLProcess handles Y segments and
     UV IPP resize per frame, Raisr.cpp:1361-1396)."""
     if ONLY and ONLY not in name:
         return
+    h, w = h or H, w or W
     eng = RaisrEngine(cfg)
     salt = float(time.time_ns() % 100003) / 1000.0
     rng = np.random.default_rng(0)
     base_y = np.clip(
-        rng.integers(16, 235, (N, H, W)).astype(np.float32) + salt, 0, 235
+        rng.integers(16, 235, (N, h, w)).astype(np.float32) + salt, 0, 235
     )
     base_uv = np.clip(
-        rng.integers(16, 240, (2 * N, H // 2, W // 2)).astype(np.float32)
+        rng.integers(16, 240, (2 * N, h // 2, w // 2)).astype(np.float32)
         + salt, 0, 240,
     )
 
@@ -125,6 +126,8 @@ bench("8-bit  bf16-tier 2-pass",
 bench("8-bit  int8-tier 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
                   dtype="int8"))
+bench("8-bit  f32-grade 1-pass",
+      RaisrConfig(filterfolder=FOLDER, passes=1, backend="pallas"))
 bench("10-bit fast-tier 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas", bits=10,
                   dtype="bfloat16"))
@@ -135,6 +138,23 @@ bench("10-bit f32-grade 1-pass",
 bench("1.5x   f32-grade 1-pass",
       RaisrConfig(filterfolder=FOLDER15, ratio=1.5, passes=1,
                   backend="pallas"))
+# BASELINE config 4: denoise pipeline — passes=2 mode=2 runs pass 1 at LR
+# size on the denoise bank (denoise-then-upscale, Raisr.cpp:945 pass
+# scheduling); the reference claims the bank costs the same as highres
+# (docs/performance.md:5) — this row measures it on the TPU path, where
+# mode 2 adds a 1080p-sized pass-1 kernel dispatch instead of a 4K one.
+bench("denoise mode=2 2-pass",
+      RaisrConfig(filterfolder="/root/reference/filters_2x/filters_denoise",
+                  passes=2, mode=2, backend="pallas"))
+# BASELINE config 2: 720p->1440p yuv420p, passes=1, filters_2x/
+# filters_lowres, full YUV plane handling (the reference treats every
+# resolution with the same planner, Raisr.cpp:1681-1829; this is the
+# lighter-geometry point of that sweep).
+bench_full_yuv("720p:  fullYUV420 lowres 1-pass",
+               RaisrConfig(
+                   filterfolder="/root/reference/filters_2x/filters_lowres",
+                   passes=1, backend="pallas"),
+               h=720, w=1280)
 bench_full_yuv("fullYUV420 bf16-tier 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
                            dtype="bfloat16"))
