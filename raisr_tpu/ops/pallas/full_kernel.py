@@ -383,7 +383,9 @@ def _full_kernel(
 
             # matmul granularity: gchunk base rows per [864, K] matmul
             # (gt is [864, gchunk*w2p] f32 — or [1728, .] i32 for the int8
-            # pair, hence the halved threshold): the largest divisor of
+            # pair, whose 5760 cap is NOT the 13.3 MB f32 target: it is the
+            # measured-working value from the i8 tier's hardware runs,
+            # deliberately left where it was benchmarked): the largest divisor of
             # rowbatch keeping gt <= [864, 3840] f32 = 13.3 MB, overridable
             # for A/B sweeps via gchunk_req. Mosaic pins in-flight gt
             # results in scoped VMEM (one per software-pipelined matmul),

@@ -32,7 +32,9 @@ def _img(h, w, seed):
         # ^ shallow and wide-ish, odd width
         (22, 34, 1.5, 1),   # single-phase kernel, non-multiple-of-16 dims
         (16, 16, 2.0, 1),   # minimum square
-        (12, 4700, 2.0, 1),  # w > 4608: the wide-plane band config (tb2=24)
+        (20, 4700, 2.0, 1),  # w > 4608 AND HR h=40 -> tb2 clamp 24: the
+        # wide-plane band config (tb2=24, rowbatch=2) actually runs in
+        # interpret mode here (a 12-row case clamps tb2 to 16 and misses it)
     ],
 )
 def test_fused_kernel_awkward_shapes_match_taps(h, w, ratio, passes):

@@ -84,7 +84,6 @@ def main():
                 b, filters, qstr, qcoh, statics, 2, 1, 2 * H, 2 * W, m
             ),
         )
-    mesh2d = make_mesh(8, ("data", "rows"), )
     results["2d"] = timed(
         "data=4,rows=2 (2-D, halo exchange)",
         lambda b: process_batch_2d(
