@@ -1,4 +1,5 @@
-"""Benchmark: 1080p -> 4K, passes=2, filters_2x/filters_highres, per chip.
+"""Benchmark: 1080p -> 4K FULL YUV420 frames, passes=2,
+filters_2x/filters_highres, per chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/60}
@@ -6,6 +7,14 @@ Prints ONE JSON line:
 Baseline: the reference needs a 32-vCPU C7i (or ~full Xeon socket share) for
 60 fps of this workload (reference docs/performance.md:26); BASELINE.md sets
 the target at >= 60 fps sustained per TPU v5e chip.
+
+Unit of work: the FULL 4:2:0 frame — RAISR on Y plus the cheap upscale on
+both chroma planes, uint8 in / uint8 out — matching the reference's
+RNLProcess unit (Raisr.cpp:1294-1397, UV at :1373-1388; the FFmpeg filter
+feeds all three planes, vf_raisr.c:226-333). The whole frame runs as ONE
+jitted step (engine.process_batch_device: unpack + Y RAISR + U/V + repack
+in a single compiled computation), so the slope below measures the fused
+serving step with no per-plane dispatch noise.
 
 Tier: the bench runs the bf16 tier (--dtype bfloat16, mxu_passes=1 with
 error-diffused filter rounding) — the direct analogue of the tier the
@@ -20,13 +29,15 @@ test_bf16_tier_inside_reference_fp16_envelope against the compiled
 reference. The full-precision tier's numbers live in docs/PERFORMANCE.md.
 
 Methodology (see docs/PERFORMANCE.md): the remote-execution tunnel adds
-~100 ms per dispatch and may cache identical dispatches, so throughput is
-measured as ONE dispatch over a batch of frames, fenced by a host fetch,
-minus the measured dispatch+fence overhead. The batch runs the PRODUCTION
-batched engine path (engine.process_batch_y: guard-banded frame stack with
-per-frame zone masks — output bit-identical to per-frame processing,
+~100 ms per dispatch and may cache identical dispatches, so per-frame time
+is the SLOPE between two batch sizes, each fenced by host fetches of all
+three output planes. The Y plane rides the PRODUCTION batched path
+(engine.process_batch_y inside the device step: guard-banded frame stack
+with per-frame zone masks — output bit-identical to per-frame processing,
 tests/test_pallas_fused.py::test_full_pass_kernel_frame_stacking), the same
-path `raisr upscale --batch N` uses.
+path `raisr upscale --batch N` uses; byte-identity of the one-jit step to
+the per-plane host path is asserted in
+tests/test_stream.py::test_device_resident_step.
 """
 
 import json
@@ -94,29 +105,36 @@ def main():
     lr_h, lr_w = 1080, 1920
     # per-process salt: remote-execution backends cache identical dispatches
     # ACROSS processes, so inputs must differ between bench runs too
-    salt = float(time.time_ns() % 100003) / 1000.0
+    salt = int(time.time_ns() % 97)
     rng = np.random.default_rng(0)
-    tall = jnp.asarray(
-        np.clip(
-            rng.integers(16, 235, size=(n, lr_h, lr_w)).astype(np.float32) + salt,
-            0, 235,
-        )
-    )
-
-    def fn(batch):
-        return engine.process_batch_y(batch)
+    y = jnp.asarray(np.clip(
+        rng.integers(16, 235, size=(n, lr_h, lr_w)) + salt, 0, 255
+    ).astype(np.uint8))
+    u = jnp.asarray(np.clip(
+        rng.integers(16, 240, size=(n, lr_h // 2, lr_w // 2)) + salt, 0, 255
+    ).astype(np.uint8))
+    v = jnp.asarray(np.clip(
+        rng.integers(16, 240, size=(n, lr_h // 2, lr_w // 2)) + 2 * salt,
+        0, 255,
+    ).astype(np.uint8))
 
     def fence(x):
-        return float(jnp.sum(x))
+        return float(jnp.sum(x.astype(jnp.uint32)))
 
-    def measure(batch):
-        fence(fn(batch))  # compile + warm
+    def fn(by, bu, bv):
+        oy, ou, ov = engine.process_batch_device(by, bu, bv)
+        return fence(oy) + fence(ou) + fence(ov)
+
+    def measure(m):
+        by, bu, bv = y[:m], u[:m], v[:m]
+        fn(by, bu, bv)  # compile + warm
         times = []
         for rep in range(5):
-            fresh = batch + float(rep + 1) * 0.125
-            fence(fresh)
+            d = np.uint8(rep + 1)
+            fy, fu, fv = (jnp.clip(a + d, 0, 255) for a in (by, bu, bv))
+            fence(fy), fence(fu), fence(fv)
             t0 = time.perf_counter()
-            fence(fn(fresh))
+            fn(fy, fu, fv)
             times.append(time.perf_counter() - t0)
         return min(times)  # queueing noise is additive
 
@@ -126,17 +144,17 @@ def main():
         # (a point estimate from noop dispatches varies 40-250 ms run to
         # run, which moved earlier headline numbers by >20%)
         n_small = n // 4
-        t_small = measure(tall[:n_small])
-        t_big = measure(tall)
+        t_small = measure(n_small)
+        t_big = measure(n)
         elapsed = (t_big - t_small) / (n - n_small)
         fps = 1.0 / elapsed
     else:
-        fps = 1.0 / measure(tall)
+        fps = 1.0 / measure(n)
 
     print(
         json.dumps(
             {
-                "metric": "1080p->4K 2-pass Y-plane frames/sec/chip (filters_2x/filters_highres, CoBC blend, bf16 tier = reference's auto-selected AVX512FP16 tier)",
+                "metric": "1080p->4K 2-pass FULL-YUV420 frames/sec/chip, one-jit uint8 in/out (filters_2x/filters_highres, CoBC blend, bf16 tier = reference's auto-selected AVX512FP16 tier)",
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),

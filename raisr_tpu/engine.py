@@ -288,5 +288,14 @@ class RaisrEngine:
             return out_y, out_u, out_v
 
         if self._device_step is None:
-            self._device_step = jax.jit(step, static_argnames=())
+            from raisr_tpu.ops.jit_utils import compiler_options
+
+            # The scoped-VMEM compile option must ride the TOP-LEVEL jit
+            # that compiles the fused Pallas kernel (jit_utils docstring).
+            # Without it this one-jit step compiles against the 16 MB
+            # default and OOMs on production (1080p+) geometry — caught on
+            # hardware in round 5; the tiny-shape unit test can't see it.
+            opts = compiler_options()
+            kw = {} if opts is None else {"compiler_options": opts}
+            self._device_step = jax.jit(step, **kw)
         return self._device_step(batch_y, batch_u, batch_v)

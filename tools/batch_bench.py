@@ -118,6 +118,58 @@ def bench_full_yuv(name, cfg, h=None, w=None):
     )
 
 
+def bench_device_yuv(name, cfg, h=None, w=None, n_big=None):
+    """Full 4:2:0 frame through engine.process_batch_device — Y RAISR +
+    both chroma upscales + uint8 pack/unpack in ONE jit (the device-resident
+    serving step, the analogue of the reference's full-frame RNLProcess,
+    Raisr.cpp:1294-1397 with UV at :1373-1388). This is the headline
+    bench.py methodology; kept here for tier sweeps."""
+    if ONLY and ONLY not in name:
+        return
+    h, w = h or H, w or W
+    n_big = n_big or N
+    eng = RaisrEngine(cfg)
+    salt = int(time.time_ns() % 97)
+    rng = np.random.default_rng(0)
+    base_y = np.clip(
+        rng.integers(16, 235, (n_big, h, w)) + salt, 0, 255
+    ).astype(np.uint8)
+    base_u = np.clip(
+        rng.integers(16, 240, (n_big, h // 2, w // 2)) + salt, 0, 255
+    ).astype(np.uint8)
+    base_v = np.clip(
+        rng.integers(16, 240, (n_big, h // 2, w // 2)) + 2 * salt, 0, 255
+    ).astype(np.uint8)
+
+    def run(y, u, v):
+        oy, ou, ov = eng.process_batch_device(y, u, v)
+        return fence(oy) + fence(ou) + fence(ov)
+
+    def measure(n):
+        y, u, v = (jnp.asarray(a[:n]) for a in (base_y, base_u, base_v))
+        run(y, u, v)
+        times = []
+        for rep in range(5):
+            d = rep + 1
+            fy, fu, fv = (
+                jnp.clip(a + np.uint8(d), 0, 255) for a in (y, u, v)
+            )
+            fence(fy), fence(fu), fence(fv)
+            t0 = time.perf_counter()
+            run(fy, fu, fv)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    n_small = max(2, n_big // 4)
+    t_small = measure(n_small)
+    t_big = measure(n_big)
+    per = (t_big - t_small) / (n_big - n_small)
+    print(
+        f"{name}: {1000 * per:.2f} ms/frame ({1 / per:.1f} fps; "
+        f"slope {n_small}->{n_big}, raw {1000 * t_small:.0f}/{1000 * t_big:.0f} ms)"
+    )
+
+
 bench("8-bit  f32-grade 2-pass",
       RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 bench("8-bit  bf16-tier 2-pass",
@@ -158,6 +210,14 @@ bench_full_yuv("720p:  fullYUV420 lowres 1-pass",
 bench_full_yuv("fullYUV420 bf16-tier 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas",
                            dtype="bfloat16"))
+# ONE-jit full-YUV420 (the bench.py headline path): Y+U+V uint8 in/out in a
+# single compiled step — no per-plane dispatch noise in the slope.
+bench_device_yuv("deviceYUV bf16-tier 2-pass",
+                 RaisrConfig(filterfolder=FOLDER, passes=2,
+                             backend="pallas", dtype="bfloat16"), n_big=32)
+bench_device_yuv("deviceYUV int8-tier 2-pass",
+                 RaisrConfig(filterfolder=FOLDER, passes=2,
+                             backend="pallas", dtype="int8"), n_big=32)
 bench_full_yuv("fullYUV420 f32-grade 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 
