@@ -12,6 +12,14 @@
 #include <stddef.h>
 #include <stdint.h>
 
+/* Library version — the analogue of the reference's RaisrVersion.h
+ * (RAISR_VERSION_MAJOR/MINOR, printed in the RNLInit banner at
+ * Raisr.cpp:1418-1420). Must match raisr_tpu.__version__ (asserted by
+ * tests/test_capi.py). */
+#define RAISR_TPU_VERSION_MAJOR 1
+#define RAISR_TPU_VERSION_MINOR 0
+#define RAISR_TPU_VERSION_PATCH 0
+
 #ifdef __cplusplus
 extern "C" {
 #endif
@@ -98,6 +106,10 @@ RTPUStatus RTPU_Process(const RTPUPlane* in_y, const RTPUPlane* in_cb,
 
 /* Release the engine (mirrors RNLHandler_Deinit). */
 RTPUStatus RTPU_Deinit(void);
+
+/* Version string "MAJOR.MINOR.PATCH" (static storage; callable before
+ * Init). */
+const char* RTPU_Version(void);
 
 #ifdef __cplusplus
 }

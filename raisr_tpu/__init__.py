@@ -22,7 +22,7 @@ from raisr_tpu.config import (
 from raisr_tpu.model.loader import load_model, FilterBank, RaisrModel
 from raisr_tpu.engine import RaisrEngine
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"
 
 __all__ = [
     "RaisrConfig",

@@ -86,6 +86,9 @@ def parse_shard_spec(spec: Optional[str]) -> dict:
     return out
 
 
+_banner_done = False
+
+
 class RaisrEngine:
     def __init__(
         self,
@@ -93,6 +96,16 @@ class RaisrEngine:
         model: Optional[RaisrModel] = None,
         shard: Optional[str | dict] = None,
     ):
+        # versioned init banner, once per process (the reference prints its
+        # lib version at every RNLInit, Raisr.cpp:1418-1420; once is enough
+        # for multi-engine processes like the test suite)
+        global _banner_done
+        if not _banner_done:
+            _banner_done = True
+            import raisr_tpu
+            from raisr_tpu.utils import logging as _rlog
+
+            _rlog.banner(raisr_tpu.__version__)
         self.cfg = cfg
         self.model = model if model is not None else load_model(cfg.filterfolder, cfg)
         backend = _resolve_backend(cfg)

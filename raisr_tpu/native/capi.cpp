@@ -172,6 +172,15 @@ RTPUStatus RTPU_Process(const RTPUPlane* in_y, const RTPUPlane* in_cb,
   return status;
 }
 
+const char* RTPU_Version(void) {
+#define RTPU_STR_(x) #x
+#define RTPU_STR(x) RTPU_STR_(x)
+  return RTPU_STR(RAISR_TPU_VERSION_MAJOR) "." RTPU_STR(
+      RAISR_TPU_VERSION_MINOR) "." RTPU_STR(RAISR_TPU_VERSION_PATCH);
+#undef RTPU_STR
+#undef RTPU_STR_
+}
+
 RTPUStatus RTPU_Deinit(void) {
   std::lock_guard<std::mutex> lock(g_mutex);
   if (g_bridge) {

@@ -41,6 +41,34 @@ class TestBridge:
         assert capi_bridge.process(None, None, None, None, None, None, 2) == 1
 
 
+def test_header_version_matches_package():
+    """The C header's RAISR_TPU_VERSION_* (the analogue of the reference's
+    RaisrVersion.h) must agree with raisr_tpu.__version__."""
+    import re
+
+    import raisr_tpu
+
+    hdr = open(os.path.join(REPO, "include", "raisr_tpu.h")).read()
+    parts = {
+        k: re.search(rf"#define RAISR_TPU_VERSION_{k} (\d+)", hdr).group(1)
+        for k in ("MAJOR", "MINOR", "PATCH")
+    }
+    hdr_ver = f"{parts['MAJOR']}.{parts['MINOR']}.{parts['PATCH']}"
+    assert hdr_ver == raisr_tpu.__version__
+
+
+def test_shared_library_version():
+    """RTPU_Version() returns the header version (callable pre-Init)."""
+    import raisr_tpu
+
+    lib_path = os.path.join(REPO, "build", "capi", "libraisr_tpu.so")
+    if not os.path.exists(lib_path):
+        pytest.skip("libraisr_tpu.so not built")
+    lib = ctypes.CDLL(lib_path)
+    lib.RTPU_Version.restype = ctypes.c_char_p
+    assert lib.RTPU_Version().decode() == raisr_tpu.__version__
+
+
 @pytest.mark.skipif(
     shutil.which("cmake") is None or shutil.which("cc") is None,
     reason="native toolchain unavailable",
