@@ -50,21 +50,27 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--backend", default="auto",
                    choices=["auto", "reference", "xla", "pallas"])
     p.add_argument("--dtype", default="float32",
-                   choices=["auto", "float32", "bfloat16", "int8"],
+                   choices=["auto", "float32", "bfloat16", "bfloat16_exact",
+                            "int8"],
                    help="compute precision tier: float32 matches the "
                         "reference's AVX2/AVX512 quality; bfloat16 is the "
                         "AVX512-FP16 analogue (faster; measured strictly "
                         "closer to the reference f32 output than the "
                         "reference's own FP16 tier — docs/PARITY.md). At "
-                        "10/16-bit it selects the exact-patch p_split "
-                        "packing (same quality class, ~2/3 the MXU work "
-                        "of the f32-grade tier). int8 (8-bit content only) "
-                        "runs the filter matmul as fixed-point hi/lo int8 "
-                        "pairs on the MXU's double-rate int8 path — "
-                        "quality between bfloat16 and float32. auto mirrors "
-                        "the reference's production ISA auto-pick "
-                        "(Raisr.cpp:1492-1501): the fastest tier passing "
-                        "the 0.05 dB ground-truth bar (= bfloat16)")
+                        "10-bit it runs the centered single-slot packing "
+                        "(patches centered at 512 pre-bf16-cast; passes "
+                        "the 0.05 dB ground-truth bar at -0.017 dB) at "
+                        "~1/3 the f32-grade MXU work; at 16-bit the "
+                        "exact-patch p_split packing. bfloat16_exact "
+                        "forces p_split at 10-bit too (exact patches, "
+                        "mxu2 cost — the quality-first fast tier). int8 "
+                        "(8-bit content only) runs the filter matmul as "
+                        "fixed-point hi/lo int8 pairs on the MXU's "
+                        "double-rate int8 path — quality between bfloat16 "
+                        "and float32. auto mirrors the reference's "
+                        "production ISA auto-pick (Raisr.cpp:1492-1501): "
+                        "the fastest tier passing the 0.05 dB ground-truth "
+                        "bar (= bfloat16)")
     p.add_argument("--resize-mode", default="bilinear",
                    choices=["bilinear", "cubic", "lanczos"],
                    help="cheap-upscale resampler (the reference's "

@@ -131,7 +131,8 @@ class RaisrConfig:
             # reference parity: auto-select the production fast tier
             # (Raisr.cpp:1492-1501 picks AVX512FP16 when supported)
             object.__setattr__(self, "dtype", "bfloat16")
-        if self.dtype not in ("float32", "bfloat16", "int8"):
+        if self.dtype not in ("float32", "bfloat16", "bfloat16_exact",
+                              "int8"):
             raise RaisrError(f"dtype: {self.dtype} is NOT supported.")
         if self.dtype == "int8" and self.bits != 8:
             raise RaisrError("dtype int8 requires 8-bit content.")

@@ -111,6 +111,7 @@ def _full_kernel(
     p_split: bool,
     ftrans: bool,
     i8: bool,
+    pcenter: float,
 ):
     from raisr_tpu.ops.hashing import atan2_approx
 
@@ -126,6 +127,10 @@ def _full_kernel(
         # undoes the patch -128 shift, inv = 1/scale applied post-select
         bias_ref = next(it)  # [4 * NB, 128] int32 (lane-replicated)
         inv_ref = next(it)  # SMEM [1] f32
+    elif pcenter:
+        # patch-centering bias (10/16-bit single-slot tier): undoes the
+        # -pcenter patch shift post-matmul, pcenter * rowsum(F) per bucket
+        pbias_ref = next(it)  # [4 * NB, 128] f32 (lane-replicated)
     row0_ref = next(it)  # SMEM [1] int32: global row of plane row 0 (stripes)
     out_ref = next(it)  # [band, 2 * w2p] f32 — final values, col-parity halves
     cf = (next(it), next(it))  # f32 staging [band + 16, plane_w] (e, o)
@@ -147,18 +152,29 @@ def _full_kernel(
     cf_e[band : band + 16, :] = ceb[0:16, :]
     cf_o[0:band, :] = coa[...]
     cf_o[band : band + 16, :] = cob[0:16, :]
-    ce_s[...] = cf_e[...].astype(jnp.bfloat16)
-    co_s[...] = cf_o[...].astype(jnp.bfloat16)
+    if pcenter:
+        # 10/16-bit single-slot tier: center values at pcenter before the
+        # bf16 cast. 10-bit video values sit in [64, 940]; centered at 512
+        # every |v-512| < 256 is exact in bf16 and the worst-case rounding
+        # error halves (ulp 2 vs 4) — the matmul bias adds pcenter*rowsum(F)
+        # back, the same shift trick the int8 tier uses for its -128.
+        ce_s[...] = (cf_e[...] - jnp.float32(pcenter)).astype(jnp.bfloat16)
+        co_s[...] = (cf_o[...] - jnp.float32(pcenter)).astype(jnp.bfloat16)
+    else:
+        ce_s[...] = cf_e[...].astype(jnp.bfloat16)
+        co_s[...] = cf_o[...].astype(jnp.bfloat16)
     if need_lo:
         # 10/16-bit: the low-order plane (value - bf16(value)) is derived
         # IN-KERNEL from the staged planes — no extra HBM streams. The hi
         # value is read back from the bf16 staging buffer (NOT via
         # lax.reduce_precision, which has no Mosaic lowering, and not via
         # an inline cast round-trip a compiler could fold away).
-        cel_s[...] = (cf_e[...] - ce_s[...].astype(jnp.float32)).astype(
+        be = cf_e[...] - jnp.float32(pcenter) if pcenter else cf_e[...]
+        bo = cf_o[...] - jnp.float32(pcenter) if pcenter else cf_o[...]
+        cel_s[...] = (be - ce_s[...].astype(jnp.float32)).astype(
             jnp.bfloat16
         )
-        col_s[...] = (cf_o[...] - co_s[...].astype(jnp.float32)).astype(
+        col_s[...] = (bo - co_s[...].astype(jnp.float32)).astype(
             jnp.bfloat16
         )
 
@@ -430,6 +446,8 @@ def _full_kernel(
                         compute_hash_rows(
                             2 * kb, min(2 * (kb + rowbatch), n_vert)
                         )
+                    if pcenter:
+                        gt_all = gt_all + pbias_ref[...][:, 0:1]
                 for b in range(g0_, g0_ + gb):
                     bc = slice((b - g0_) * w2p, (b - g0_ + 1) * w2p)
                     for r0 in range(2):
@@ -651,7 +669,7 @@ def _full_kernel(
         "patch_size", "patch_margin", "mxu_passes", "min_val", "max_val",
         "blending", "exact_edges", "tb2", "rowbatch", "cchunk", "gchunk",
         "hashloop", "mpack", "interpret", "frame_h", "frame_pad", "zone_h",
-        "p_split", "ftrans", "i8",
+        "p_split", "ftrans", "i8", "pcenter",
     ),
 )
 def raisr_pass_pallas_full(
@@ -685,6 +703,7 @@ def raisr_pass_pallas_full(
     p_split: bool = False,  # fast tier for >8-bit: [F',F'] x [Phi,Plo]
     ftrans: bool = False,  # K-major filter operand (mpack path only)
     i8: bool = False,  # int8-pair fixed-point tier (8-bit content only)
+    pcenter: float = 0.0,  # >0: center patches at pcenter pre-bf16-cast
 ) -> jnp.ndarray:
     """One complete RAISR pass (ratio 2), fused end to end.
 
@@ -748,6 +767,9 @@ def raisr_pass_pallas_full(
             raise ValueError("i8 requires the mpack layout (no p_split/ftrans)")
         mxu_passes = 1  # one K slot: staging/scratch sized like the bf16 tier
 
+    if pcenter and (not mpack or i8 or ftrans):
+        raise ValueError("pcenter requires the mpack layout (non-i8)")
+
     f_all = filters[:, :n_taps].reshape(NB, pixel_types, patch_size, patch_size)
     if (mxu_passes == 1 or p_split) and not i8:
         f_all = _round_bf16_error_diffused(
@@ -762,6 +784,7 @@ def raisr_pass_pallas_full(
         ).reshape(NB, pixel_types, patch_size, patch_size)
     n_blocks = patch_size + 1
     f_phase = []
+    pbias_rows = []
     for r0, c0 in [(0, 0), (0, 1), (1, 0), (1, 1)]:
         pt_idx = ((r0 - patch_margin) % 2) * 2 + ((c0 - patch_margin) % 2)
         fp = jnp.zeros((NB, n_blocks, blk), jnp.float32)
@@ -780,6 +803,15 @@ def raisr_pass_pallas_full(
         # the two P slots make the patch values exact
         parts = [fhi, fhi] if p_split else [fhi, flo, fhi][:mxu_passes]
         f_phase.append(jnp.concatenate(parts, axis=1))
+        if pcenter:
+            # rowsum of the filters that multiply the CENTERED patch value
+            # (P - pcenter): the hi slot always; the lo-filter slot also
+            # rides Phi when present (mxu>=2 non-p_split). gt then gains
+            # pcenter * rowsum back so raw values keep the original scale.
+            fb = fhi.astype(jnp.float32)
+            if mxu_passes >= 2 and not p_split:
+                fb = fb + flo.astype(jnp.float32)
+            pbias_rows.append(float(pcenter) * jnp.sum(fb, axis=1))
     if mpack:
         f_phase = [jnp.concatenate(f_phase, axis=0)]  # [4 * NB, mxu * 144]
         if ftrans:
@@ -851,6 +883,7 @@ def raisr_pass_pallas_full(
         p_split=p_split,
         ftrans=ftrans,
         i8=i8,
+        pcenter=float(pcenter),
     )
     scratch = [pltpu.VMEM((band + 16, plane_w), jnp.float32) for _ in range(2)]
     n_stage = 4 if (mxu_passes >= 3 or p_split) else 2
@@ -885,6 +918,15 @@ def raisr_pass_pallas_full(
             ),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
+    pc_extra = []
+    if pcenter:
+        pb = jnp.concatenate(pbias_rows, axis=0)  # [4 * NB]
+        pc_extra = [jnp.tile(pb[:, None], (1, 128)).astype(jnp.float32)]
+        i8_specs = [
+            pl.BlockSpec(
+                (4 * NB, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -893,7 +935,7 @@ def raisr_pass_pallas_full(
         out_shape=jax.ShapeDtypeStruct((n_tiles, band, 2 * w2p), jnp.float32),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*plane_args, *f_phase, *i8_extra, row0_arr)
+    )(*plane_args, *f_phase, *i8_extra, *pc_extra, row0_arr)
     out = out.reshape(2 * h2p, 2 * w2p)
 
     oute = out[:, :w2p]

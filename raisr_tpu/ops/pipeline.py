@@ -66,6 +66,11 @@ class PassStatics:
     # int8-pair fixed-point tier (8-bit content): hi/lo int8 filters on the
     # MXU's 2x int8 path, exact shifted-int8 patches (full_kernel.py i8)
     i8: bool = False
+    # >0: 10-bit single-slot fast tier — patches centered at pcenter before
+    # the bf16 staging cast (halves the rounding error; values within
+    # +-256 of center become exact) with pcenter*rowsum(F) added back
+    # post-matmul (full_kernel.py pcenter). mxu1 cost for >8-bit content.
+    pcenter: float = 0.0
     # cheap-upscale resampler (RaisrConfig.resize_mode); non-bilinear modes
     # use the per-frame vmap batch fallback (no stacked formulation)
     resize_mode: str = "bilinear"
@@ -175,6 +180,7 @@ def raisr_pass(
             interpret=s.backend_interpret,
             p_split=s.p_split,
             i8=s.i8,
+            pcenter=s.pcenter,
         )
 
     if (
@@ -301,10 +307,29 @@ def _finish_pass(cheap: jnp.ndarray, raw: jnp.ndarray, s: PassStatics) -> jnp.nd
 def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStatics:
     p_split = False
     i8 = False
+    pcenter = 0.0
+    single_phase = model.banks[0].pixel_types == 1
     if cfg.dtype == "bfloat16":
         # fp16-class fast tier (reference AVX512FP16 analogue): one matmul
-        # slot at 8-bit (patches exact in bf16); two slots [Phi, Plo] at
-        # 10/16-bit so patches stay exact (p_split)
+        # slot at 8-bit (patches exact in bf16). 10-bit: one slot with
+        # patches CENTERED at 512 pre-cast (max rounding error halves; the
+        # GT gate passes at -0.017 dB vs the 0.05 bar,
+        # tests/test_reference_parity.py) — mxu1 cost. 16-bit (and the
+        # single-phase 1.5x kernel, which has no pcenter path): two slots
+        # [Phi, Plo] keep patches exact (p_split).
+        if cfg.bits == 8:
+            mxu_passes = 1
+        elif cfg.bits == 10 and not single_phase:
+            mxu_passes = 1
+            pcenter = 512.0
+        else:
+            mxu_passes = 2
+            p_split = True
+    elif cfg.dtype == "bfloat16_exact":
+        # exact-patch variant of the fast tier: identical to bfloat16 at
+        # 8-bit; at 10/16-bit forces the p_split [F',F'] x [Phi,Plo]
+        # packing (mxu2 cost, patch values exact) — the pre-round-5 10-bit
+        # default, kept user-reachable for quality-first 10-bit serving
         mxu_passes = 1 if cfg.bits == 8 else 2
         p_split = cfg.bits > 8
     elif cfg.dtype == "int8":
@@ -336,6 +361,7 @@ def pass_statics(cfg: RaisrConfig, model: RaisrModel, backend: str) -> PassStati
         bank_edges=bank_edges,
         p_split=p_split,
         i8=i8,
+        pcenter=pcenter,
         resize_mode=cfg.resize_mode,
     )
 

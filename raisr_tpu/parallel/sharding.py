@@ -268,13 +268,19 @@ def _raisr_pass_stripe(
         if s.use_pixel_type:
             # stripe row 0 has even global parity (core_rows and hr_halo are
             # even), so the kernel's local row phases equal global phases.
-            # tb2 as for a full frame, clamped so short stripes don't
-            # process padding-only bands.
-            tb2 = (40 if s.mxu_passes < 3 else 32) if w <= 4608 else 32
+            # tb2 as for a full frame (INCLUDING the wide-plane branch:
+            # Mosaic's scoped-VMEM demand ~ band_rows x plane_w, and w>4608
+            # at tb2=32 overran the 124 MB limit in round 4 — the stripe
+            # path must shorten bands exactly like pipeline.py), clamped so
+            # short stripes don't process padding-only bands.
+            tb2 = (
+                (40 if s.mxu_passes < 3 else 32) if w <= 4608
+                else (24 if s.mxu_passes < 3 and not s.p_split else 16)
+            )
             tb2 = min(tb2, _pad_to(-(-h_ext // 2), 8))
             out = raisr_pass_pallas_full(
                 cheap_ext, filters, patch_margin=s.patch_margin, tb2=tb2,
-                p_split=s.p_split, **kw
+                p_split=s.p_split, i8=s.i8, pcenter=s.pcenter, **kw
             )
         else:
             tb2 = min(16 if w <= 4608 else 8, _pad_to(-(-h_ext // 2), 4))

@@ -55,8 +55,9 @@ def test_fused_kernel_awkward_shapes_match_taps(h, w, ratio, passes):
 
 @pytest.mark.slow
 def test_fast_tier_awkward_shape_runs():
-    """The p_split (10-bit fast) tier on an odd shape: shape/dtype sanity
-    (quality is covered by test_pallas_fused / tpu_check)."""
+    """The 10-bit fast tier (centered single-slot since round 5) on an odd
+    shape: shape/dtype sanity (quality is covered by test_reference_parity
+    fast10_centered / tpu_check)."""
     import shutil
 
     import tempfile

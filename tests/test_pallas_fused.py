@@ -182,11 +182,18 @@ def test_bf16_tier_config_wiring():
     cfg10 = RaisrConfig(filterfolder=folder, bits=10)
     s10 = pass_statics(cfg10, model, "pallas")
     assert s10.mxu_passes == 3 and not s10.p_split
+    # 10-bit fast tier (round 5): centered single slot, GT gate -0.017 dB
     cfg10f = RaisrConfig(filterfolder=folder, bits=10, dtype="bfloat16")
     s10f = pass_statics(cfg10f, model, "pallas")
-    assert s10f.mxu_passes == 2 and s10f.p_split
+    assert s10f.mxu_passes == 1 and s10f.pcenter == 512.0 and not s10f.p_split
+    # exact-patch variant stays reachable as bfloat16_exact
+    cfg10e = RaisrConfig(filterfolder=folder, bits=10,
+                         dtype="bfloat16_exact")
+    s10e = pass_statics(cfg10e, model, "pallas")
+    assert s10e.mxu_passes == 2 and s10e.p_split and s10e.pcenter == 0.0
     # 16-bit: lo = x - bf16(x) is an integer of magnitude <= 128 — exact in
-    # bf16, so the p_split exact-patch argument holds there too
+    # bf16, so the p_split exact-patch argument holds there too (a centered
+    # single slot would round 16-bit patches to +-128: not gated, not used)
     cfg16f = RaisrConfig(filterfolder=folder, bits=16, dtype="bfloat16")
     s16f = pass_statics(cfg16f, model, "pallas")
     assert s16f.mxu_passes == 2 and s16f.p_split
@@ -230,6 +237,20 @@ def test_full_pass_kernel_p_split_10bit():
     mse = float((diff.astype(np.float64) ** 2).mean())
     psnr = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
     assert psnr >= 40.0, psnr
+
+    # round-5 centered single-slot tier (pcenter=512, mxu_passes=1): the
+    # production 10-bit fast path. Patch rounding error <= 1 LSB (|v-512| <
+    # 512 at video range), so it must stay in the same quality class on
+    # this content; the ground-truth gate is asserted in
+    # test_reference_parity.py::...[fast10_centered] (-0.017 dB vs 0.05).
+    fast10 = np.asarray(raisr_pass_pallas_full(
+        jnp.asarray(img), jnp.asarray(bank.filters), mxu_passes=1,
+        pcenter=512.0, **kw))
+    d10 = np.abs(fast10 - f32)
+    assert (d10 > 32).mean() < 5e-3, (d10 > 32).mean()
+    mse10 = float((d10.astype(np.float64) ** 2).mean())
+    psnr10 = 99.0 if mse10 == 0 else 10 * np.log10(1023.0 ** 2 / mse10)
+    assert psnr10 >= 40.0, psnr10
 
 
 @pytest.mark.parametrize("blending", [1, 2])

@@ -323,9 +323,12 @@ def test_psnr_vs_ground_truth_within_half_tenth(tmp_path):
         # run in CI (marked slow — ~3 min each in interpret mode)
         ("bfloat16", 8),
         pytest.param("int8", 8, marks=pytest.mark.slow),
+        # 10-bit fast tier: centered single-slot (pcenter=512) since round 5
         pytest.param("bfloat16", 10, marks=pytest.mark.slow),
+        # exact-patch p_split packing, kept reachable as bfloat16_exact
+        pytest.param("bfloat16_exact", 10, marks=pytest.mark.slow),
     ],
-    ids=["bf16_tier", "i8_tier", "p_split_10bit"],
+    ids=["bf16_tier", "i8_tier", "fast10_centered", "p_split_10bit"],
 )
 def test_psnr_vs_ground_truth_fast_tiers(tmp_path, dtype, bits):
     """The BASELINE quality criterion (ΔPSNR-vs-ground-truth ≤ 0.05 dB vs

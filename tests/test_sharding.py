@@ -24,10 +24,10 @@ from raisr_tpu.parallel.sharding import (
 FOLDER = "/root/reference/filters_2x/filters_highres"
 
 
-def _setup(passes=1, blending=2, bits=8, backend="taps", folder=FOLDER, ratio=2.0, mode=1):
+def _setup(passes=1, blending=2, bits=8, backend="taps", folder=FOLDER, ratio=2.0, mode=1, dtype="float32"):
     cfg = RaisrConfig(
         filterfolder=folder, passes=passes, blending=BlendingMode(blending),
-        bits=bits, ratio=ratio, mode=mode,
+        bits=bits, ratio=ratio, mode=mode, dtype=dtype,
     )
     model = load_model(folder, cfg)
     statics = pass_statics(cfg, model, backend)
@@ -195,6 +195,29 @@ def test_row_sharded_pallas_fused_two_pass():
         lr, filters, qstr, qcoh, statics, 2, 1, 48, 64, mesh, "rows"
     )
     single = process_plane_y(lr, filters, qstr, qcoh, statics, 2, 1, 48, 64)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
+
+
+@pytest.mark.parametrize(
+    "dtype,bits", [("int8", 8), ("bfloat16", 10)], ids=["i8", "fast10"]
+)
+def test_row_sharded_pallas_fused_fast_tiers(dtype, bits):
+    """The stripe path must carry the TIER statics into the kernel: round 5
+    found `i8` was silently dropped by the stripe kernel call (striped int8
+    ran the plain bf16 tier and diverged from the unsharded int8 output).
+    Bit-identity vs the unsharded fused run, per fast tier."""
+    import dataclasses
+
+    cfg, statics, filters, qstr, qcoh = _setup(
+        backend="pallas", dtype=dtype, bits=bits
+    )
+    statics = dataclasses.replace(statics, backend_interpret=True)
+    mesh = make_mesh(4, ("rows",))
+    lr = _image(24, 32, bits=bits, seed=11)
+    out = process_plane_row_sharded(
+        lr, filters, qstr, qcoh, statics, 1, 1, 48, 64, mesh, "rows"
+    )
+    single = process_plane_y(lr, filters, qstr, qcoh, statics, 1, 1, 48, 64)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(single))
 
 

@@ -25,7 +25,8 @@ import time
 
 p = argparse.ArgumentParser(description=__doc__)
 p.add_argument("--tier", default=None,
-               choices=["f32", "bf16", "i8", "p10", "f32-10", "15x"],
+               choices=["f32", "bf16", "i8", "p10", "fast10", "f32-10",
+                        "15x"],
                help="preset: tier defaults for mxu/p_split/i8/bits/bank")
 p.add_argument("--tb2", type=int, default=0, help="half band rows (0=tier default)")
 p.add_argument("--rowbatch", type=int, default=0)
@@ -33,6 +34,8 @@ p.add_argument("--mxu", type=int, default=0, help="mxu_passes (0=tier default)")
 p.add_argument("--cchunk", type=int, default=0)
 p.add_argument("--gchunk", type=int, default=0)
 p.add_argument("--ftrans", action="store_true")
+p.add_argument("--pcenter", type=float, default=0.0,
+               help=">0: center patches pre-bf16-cast (10-bit single-slot)")
 p.add_argument("--ablate", default="", help="RAISR_ABLATE stage to skip/flip")
 p.add_argument("--size", default="4k", choices=["4k", "8k"],
                help="cheap-plane (output) size per frame")
@@ -47,7 +50,7 @@ if argv and not argv[0].startswith("-"):
         mxu=int(argv[2]) if len(argv) > 2 else 2,
         cchunk=int(argv[3]) if len(argv) > 3 else 0,
         gchunk=0, ftrans="ftrans" in argv[4:], ablate="",
-        size="4k", frames=(4, 12),
+        size="4k", frames=(4, 12), pcenter=0.0,
     )
     legacy.p_split = "psplit" in argv[4:]
     legacy.i8 = "i8" in argv[4:]
@@ -63,6 +66,8 @@ TIERS = {
     "bf16": (1, False, False, 8, 40, "filters_2x/filters_highres"),
     "i8": (1, False, True, 8, 40, "filters_2x/filters_highres"),
     "p10": (2, True, False, 10, 40, "filters_2x/filters_highres"),
+    # 10-bit single-slot fast tier: patches centered at 512 pre-bf16-cast
+    "fast10": (1, False, False, 10, 40, "filters_2x/filters_highres"),
     "f32-10": (3, False, False, 10, 32, "filters_2x/filters_highres"),
     "15x": (2, False, False, 8, 16, "filters_1.5x/filters_highres"),
 }
@@ -74,6 +79,8 @@ if args.tier:
         args.mxu = mxu_t
     if args.tb2 == 0:
         args.tb2 = tb2_t
+    if args.tier == "fast10" and args.pcenter == 0.0:
+        args.pcenter = 512.0
     FOLDER = os.path.join("/root/reference", fld)
 else:
     if args.mxu == 0:
@@ -141,6 +148,7 @@ def fn(cheap):
         cchunk=args.cchunk, gchunk=args.gchunk,
         min_val=min_val, max_val=max_val,
         p_split=args.p_split, ftrans=args.ftrans, i8=args.i8,
+        pcenter=args.pcenter,
     )
 
 

@@ -245,13 +245,15 @@ def check_bf16_tier_on_hw():
 
 @check("full_kernel_p_split_10bit")
 def check_p_split_tier_on_hw():
-    """4-phase 10-bit fast tier ([F',F'] x [Phi,Plo], mxu_passes=2 +
-    p_split — the production `--dtype bfloat16 --bits 10` path measured at
-    48.4 fps 2-pass) under real Mosaic. Completes the per-shape hardware
-    sweep: the single-phase p_split variant has its own check below."""
+    """4-phase 10-bit exact-patch tier ([F',F'] x [Phi,Plo], mxu_passes=2 +
+    p_split — `--dtype bfloat16_exact --bits 10`, the pre-round-5 10-bit
+    default measured at 48.4 fps 2-pass) under real Mosaic. Completes the
+    per-shape hardware sweep: the single-phase p_split variant has its own
+    check below; the round-5 centered single-slot tier has fast10 below."""
     import dataclasses
 
-    _, _, statics_p, filters, qstr, qcoh = _statics(bits=10, dtype="bfloat16")
+    _, _, statics_p, filters, qstr, qcoh = _statics(
+        bits=10, dtype="bfloat16_exact")
     assert statics_p.p_split and statics_p.mxu_passes == 2, (
         statics_p.p_split, statics_p.mxu_passes)
     statics_t = dataclasses.replace(
@@ -272,6 +274,41 @@ def check_p_split_tier_on_hw():
     # interpret-mode measured 67.0 dB / max 20 vs ref f32 on parity
     # content; this noisy content bounds like the single-phase check
     assert p >= 40.0, p
+    assert (d > 32).mean() < 5e-3, (d > 32).mean()
+    return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>32 {(d > 32).mean():.5f}"
+
+
+@check("full_kernel_fast10_centered")
+def check_fast10_tier_on_hw():
+    """10-bit centered single-slot fast tier (round 5): mxu_passes=1 with
+    patches centered at 512 pre-bf16-cast and the pcenter*rowsum(F) bias
+    added post-matmul — the production `--dtype bfloat16 --bits 10` path.
+    GT gate -0.017 dB (tests/test_reference_parity.py fast10_centered);
+    here: parity vs f32 taps under real Mosaic."""
+    import dataclasses
+
+    _, _, statics_p, filters, qstr, qcoh = _statics(bits=10, dtype="bfloat16")
+    assert statics_p.pcenter == 512.0 and statics_p.mxu_passes == 1, (
+        statics_p.pcenter, statics_p.mxu_passes)
+    statics_t = dataclasses.replace(
+        statics_p, backend="taps", mxu_passes=3, pcenter=0.0
+    )
+    img = _img(128, 256, bits=10)
+    from raisr_tpu.ops.pipeline import raisr_pass
+    from raisr_tpu.ops.jit_utils import tpu_jit
+
+    args = (filters[0], qstr[0], qcoh[0])
+    ref = np.asarray(jax.jit(
+        lambda y: raisr_pass(y, *args, statics_t, 0))(img))
+    out = np.asarray(tpu_jit(
+        lambda y: raisr_pass(y, *args, statics_p, 0))(img))
+    d = np.abs(out - ref)
+    mse = float((d ** 2).mean())
+    p = 99.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+    # the centered single slot keeps patch error <= 1 LSB (|v-512| < 512
+    # always at 10-bit video range): same bound class as p_split on this
+    # content, looser floor for the dropped exact-lo slot
+    assert p >= 38.0, p
     assert (d > 32).mean() < 5e-3, (d > 32).mean()
     return f"PSNR vs f32 taps {p:.1f} dB, max {d.max():.0f}, frac>32 {(d > 32).mean():.5f}"
 
@@ -402,6 +439,30 @@ def check_row_sharded_on_hw():
     return "1-device stripe bit-identical to single-device"
 
 
+@check("row_sharded_stripe_2pass_wide")
+def check_row_sharded_2pass_wide_on_hw():
+    """Stripe path at the geometries the 4K->8K aggregate claims rest on:
+    2 passes and a w=3840 LR stripe (pass 2 runs the wide branch at
+    w=7680, tb2=24), on a 1-device mesh. ppermute is identity on one
+    device; what's under test is the stripe KERNEL on real Mosaic —
+    traced row0, global zone masks, halo-extended staging — at the wide
+    2-pass geometry (reference analogue: arbitrary-geometry segment
+    planning, Raisr.cpp:1681-1829)."""
+    from jax.sharding import Mesh
+    from raisr_tpu.ops.pipeline import process_plane_y
+    from raisr_tpu.parallel.sharding import process_plane_row_sharded
+
+    _, _, statics_p, filters, qstr, qcoh = _statics(passes=2)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("rows",))
+    lr = _img(96, 3840, seed=6)
+    out = np.asarray(process_plane_row_sharded(
+        lr, filters, qstr, qcoh, statics_p, 2, 1, 192, 7680, mesh, "rows"))
+    single = np.asarray(process_plane_y(
+        lr, filters, qstr, qcoh, statics_p, 2, 1, 192, 7680))
+    assert np.array_equal(out, single)
+    return "2-pass w=7680 1-device stripe bit-identical"
+
+
 @check("pipeline_quality_golden")
 def check_pipeline_quality():
     from raisr_tpu.ops.pipeline import process_plane_y
@@ -449,6 +510,71 @@ def bench_pipeline():
     return f"{best*1000:.2f} ms/frame incl dispatch -> {1/best:.1f} fps"
 
 
+@check("bench_pipeline_4k_bf16")
+def bench_pipeline_bf16():
+    """Single-stream latency on the bf16 tier (the headline tier): one
+    1080p->4K 2-pass Y frame per fenced dispatch, sequential. The
+    reference's per-stream story is 60 fps given enough cores
+    (docs/performance.md:26); bench_pipeline_4k covers f32-grade."""
+    from raisr_tpu.ops.pipeline import process_plane_y
+
+    _, _, statics_p, filters, qstr, qcoh = _statics(
+        passes=2, dtype="bfloat16")
+    rng = np.random.default_rng(0)
+    frame0 = jnp.asarray(
+        rng.integers(16, 235, size=(1080, 1920)).astype(np.float32))
+
+    N = 10
+    def fn(y):
+        return process_plane_y(
+            y, filters, qstr, qcoh, statics_p, 2, 1, 2160, 3840)
+    offs = [jnp.float32(i) for i in range(N + 1)]
+    t0 = time.time(); fence(fn(frame0))
+    log(f"  bf16 pipeline compile: {time.time()-t0:.0f}s")
+    best = None
+    for rep in range(2):
+        base = frame0 + float(100 + rep); fence(base)
+        t0 = time.time()
+        acc = []
+        for i in range(N):
+            acc.append(fn(base + offs[i])[0, 0])
+        float(sum(acc))
+        dt = (time.time() - t0) / N
+        best = dt if best is None else min(best, dt)
+    return f"{best*1000:.2f} ms/frame incl dispatch -> {1/best:.1f} fps"
+
+
+@check("bench_stream_pipelined_4k_bf16")
+def bench_stream_pipelined():
+    """Depth-2 pipelined single-stream rate on hardware: StreamProcessor
+    keeps 2 dispatches in flight over distinct 1080p frames (uint8 host
+    in/out, full materialization) — the TPU-native analogue of the
+    reference's per-stream 60-fps recipe (docs/performance.md:26), whose
+    pipelining until now was only correctness-tested on CPU."""
+    from raisr_tpu.config import RaisrConfig
+    from raisr_tpu.engine import Frame, RaisrEngine
+    from raisr_tpu.stream import StreamProcessor
+
+    cfg = RaisrConfig(
+        filterfolder="/root/reference/filters_2x/filters_highres",
+        passes=2, backend="pallas", dtype="bfloat16")
+    eng = RaisrEngine(cfg)
+    rng = np.random.default_rng(3)
+    N = 12
+    frames = [
+        Frame(y=np.clip(rng.integers(16, 235, (1080, 1920)) + i, 0, 255)
+              .astype(np.uint8))
+        for i in range(N)
+    ]
+    # compile + warm outside the timed window
+    list(StreamProcessor(eng, depth=2).process(iter(frames[:2])))
+    t0 = time.time()
+    outs = list(StreamProcessor(eng, depth=2).process(iter(frames)))
+    dt = (time.time() - t0) / N
+    assert len(outs) == N and outs[0].y.shape == (2160, 3840)
+    return f"{dt*1000:.2f} ms/frame depth=2 pipelined -> {1/dt:.1f} fps"
+
+
 CHECKS = [
     bench_dispatch_overhead,
     check_kernel_correctness,
@@ -457,13 +583,17 @@ CHECKS = [
     check_full_kernel_mxu3_on_hw,
     check_bf16_tier_on_hw,
     check_p_split_tier_on_hw,
+    check_fast10_tier_on_hw,
     check_i8_tier_on_hw,
     check_single_phase_on_hw,
     check_single_phase_p_split_on_hw,
     check_frame_stacking_on_hw,
     check_row_sharded_on_hw,
+    check_row_sharded_2pass_wide_on_hw,
     check_pipeline_quality,
     bench_pipeline,
+    bench_pipeline_bf16,
+    bench_stream_pipelined,
 ]
 
 
