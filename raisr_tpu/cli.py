@@ -98,6 +98,12 @@ def _cfg(args) -> RaisrConfig:
 def cmd_upscale(args) -> int:
     from raisr_tpu import video
 
+    if args.output == "-":
+        # Y4M data rides stdout: keep logs (incl. the engine init banner)
+        # off the pipe
+        from raisr_tpu.utils.logging import to_stderr
+
+        to_stderr()
     cfg = _cfg(args)
     engine = RaisrEngine(cfg, shard=getattr(args, "shard", None))
 

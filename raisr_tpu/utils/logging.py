@@ -32,6 +32,15 @@ def error(msg: str):
     _logger.error(f"[RAISR ERROR] {msg}")
 
 
+def to_stderr():
+    """Route raisr_tpu log output (incl. the init banner) to stderr — the
+    CLI sets this when the output DATA stream goes to stdout (`-o -`), so
+    the banner can't corrupt a piped Y4M stream."""
+    for h in _logger.handlers:
+        if isinstance(h, logging.StreamHandler):
+            h.setStream(sys.stderr)
+
+
 def banner(version: str):
     """Init banner (the reference prints lib version at RNLInit,
     Raisr.cpp:1418-1420)."""

@@ -131,15 +131,17 @@ def bench_device_yuv(name, cfg, h=None, w=None, n_big=None):
     eng = RaisrEngine(cfg)
     salt = int(time.time_ns() % 97)
     rng = np.random.default_rng(0)
+    dt = np.uint8 if cfg.bits == 8 else np.uint16
+    lo, hi, top = (16, 235, 255) if cfg.bits == 8 else (64, 940, 1023)
     base_y = np.clip(
-        rng.integers(16, 235, (n_big, h, w)) + salt, 0, 255
-    ).astype(np.uint8)
+        rng.integers(lo, hi, (n_big, h, w)) + salt, 0, top
+    ).astype(dt)
     base_u = np.clip(
-        rng.integers(16, 240, (n_big, h // 2, w // 2)) + salt, 0, 255
-    ).astype(np.uint8)
+        rng.integers(lo, hi + 5, (n_big, h // 2, w // 2)) + salt, 0, top
+    ).astype(dt)
     base_v = np.clip(
-        rng.integers(16, 240, (n_big, h // 2, w // 2)) + 2 * salt, 0, 255
-    ).astype(np.uint8)
+        rng.integers(lo, hi + 5, (n_big, h // 2, w // 2)) + 2 * salt, 0, top
+    ).astype(dt)
 
     def run(y, u, v):
         oy, ou, ov = eng.process_batch_device(y, u, v)
@@ -152,7 +154,7 @@ def bench_device_yuv(name, cfg, h=None, w=None, n_big=None):
         for rep in range(5):
             d = rep + 1
             fy, fu, fv = (
-                jnp.clip(a + np.uint8(d), 0, 255) for a in (y, u, v)
+                jnp.clip(a + dt(d), 0, top) for a in (y, u, v)
             )
             fence(fy), fence(fu), fence(fv)
             t0 = time.perf_counter()
@@ -218,6 +220,10 @@ bench_device_yuv("deviceYUV bf16-tier 2-pass",
 bench_device_yuv("deviceYUV int8-tier 2-pass",
                  RaisrConfig(filterfolder=FOLDER, passes=2,
                              backend="pallas", dtype="int8"), n_big=32)
+bench_device_yuv("deviceYUV 10-bit fast-tier 2-pass",
+                 RaisrConfig(filterfolder=FOLDER, passes=2,
+                             backend="pallas", dtype="bfloat16", bits=10),
+                 n_big=32)
 bench_full_yuv("fullYUV420 f32-grade 2-pass",
                RaisrConfig(filterfolder=FOLDER, passes=2, backend="pallas"))
 
