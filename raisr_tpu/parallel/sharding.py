@@ -37,6 +37,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from raisr_tpu.config import CT_MARGIN
+from raisr_tpu.ops.jit_utils import compiler_options
 from raisr_tpu.ops.pipeline import PassStatics, raisr_pass, processed_col_end
 from raisr_tpu.ops import hashing, census
 from raisr_tpu.ops.filter_apply import apply_filters_taps, apply_filters_conv
@@ -46,6 +47,19 @@ from raisr_tpu.model.gaussian import gaussian_weights
 # support (loop_margin = 6) + census margin (1), rounded up to keep LR halo
 # integral for ratio 1.5 -> use 8.
 HR_HALO = 8
+
+
+def _top_jit(fn):
+    """Top-level jit with the TPU scoped-VMEM option.
+
+    shard_map wrappers here are the compile root for the fused pallas
+    kernel, so the xla_tpu_scoped_vmem_limit_kib option must ride THESE
+    jits (the same rule as engine.py's one-jit serving step): without it
+    the default 16 MB scoped limit rejects wide 2-pass stripe geometries
+    that the unsharded pipeline compiles fine."""
+    opts = compiler_options()
+    kw = {} if opts is None else {"compiler_options": opts}
+    return jax.jit(fn, **kw)
 
 
 def make_mesh(n_devices: int | None = None, axis_names=("data", "rows")) -> Mesh:
@@ -111,7 +125,7 @@ def process_batch_dp(
         out_specs=P(axis, None, None),
         check_vma=False,
     )
-    return jax.jit(fn_sharded)(batch_lr, *banks_flat)
+    return _top_jit(fn_sharded)(batch_lr, *banks_flat)
 
 
 # --------------------------------------------------------------------------
@@ -430,7 +444,7 @@ def process_plane_row_sharded(
         out_specs=P(axis, None),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
-    return jax.jit(fn)(lr, *filters, *qstr, *qcoh)
+    return _top_jit(fn)(lr, *filters, *qstr, *qcoh)
 
 
 def process_batch_2d(
@@ -465,4 +479,4 @@ def process_batch_2d(
         out_specs=P(data_axis, rows_axis, None),
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
-    return jax.jit(fn)(batch_lr, *filters, *qstr, *qcoh)
+    return _top_jit(fn)(batch_lr, *filters, *qstr, *qcoh)

@@ -572,7 +572,12 @@ def bench_stream_pipelined():
     outs = list(StreamProcessor(eng, depth=2).process(iter(frames)))
     dt = (time.time() - t0) / N
     assert len(outs) == N and outs[0].y.shape == (2160, 3840)
-    return f"{dt*1000:.2f} ms/frame depth=2 pipelined -> {1/dt:.1f} fps"
+    # per-frame host traffic: 1080p uint8 up + 4K uint8 down (the stream
+    # path materializes packed integers, not the f32 pipeline output)
+    mb = (1080 * 1920 + 2160 * 3840) / 1e6
+    return (f"{dt*1000:.2f} ms/frame depth=2 pipelined -> {1/dt:.1f} fps "
+            f"({mb:.1f} MB host traffic/frame -> {mb/dt:.0f} MB/s effective; "
+            f"tunnel transfer-bound, see PERFORMANCE.md single-frame latency)")
 
 
 CHECKS = [
