@@ -88,6 +88,37 @@ def _pad_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def select_fused_tb2(s: "PassStatics", w: int) -> int:
+    """Band height for the fused whole-pass kernel, before the plane-height
+    clamp (callers min() with their plane/stripe height). ONE definition for
+    the unsharded and row-striped paths — these drifted once (round 5: the
+    stripe path kept tb2=32 at w>4608, the exact scoped-VMEM OOM geometry).
+
+    Measured schedule (tools/kbench_full.py, same-day sweeps):
+    - 40 fastest at 4K for the 2-slot kernels (round 3: mxu2 9.85 ms/pass
+      at tb2=40 vs 10.06 at 48 vs 10.7 at 16; mxu1 7.40 vs 7.61; p_split
+      9.20 at 40 vs 10.58 at 32). p_split at tb2=48 additionally exceeds
+      the 128 MB scoped VMEM (136.9M measured).
+    - int8-pair tier: 48 fastest (round-5 sweep: 8.06 ms/pass at tb2=48 vs
+      8.22 at 40 vs 8.17 at 40+gchunk2) — its gt matmul output and staged
+      planes are int8/int32-packed, so the taller band still fits VMEM.
+    - mxu_passes=3 kernels unroll 50% more work per band and Mosaic compile
+      time explodes at tb2=48, so 10/16-bit f32-grade stays at tb2=32
+      (12.4 ms/pass).
+    - Wide (8K-class) outputs need a shorter band: Mosaic's scoped-VMEM
+      demand is ~proportional to band_rows x plane_w (measured: the 8K
+      geometry at tb2=32 computes 127.63M vs the 124M limit, INDEPENDENT
+      of matmul group size — whole-band intermediates, not gt). tb2=24
+      puts 8K-wide at ~0.8x that demand; the 3/4-slot kernels carry two
+      extra staging planes, so they drop to 16. The i8 tier keeps the
+      conservative 24 at 8K (untested taller there)."""
+    if w <= 4608:
+        if s.i8:
+            return 48
+        return 40 if s.mxu_passes < 3 else 32
+    return 24 if s.mxu_passes < 3 and not s.p_split else 16
+
+
 def processed_col_end(width: int, loop_margin: int, exact_edges: bool) -> int:
     """Last processed column (exclusive) of the hot loop.
 
@@ -153,28 +184,10 @@ def raisr_pass(
             max_val=s.max_val,
             blending=int(s.blending),
             exact_edges=s.exact_edges,
-            # band height: 40 measured fastest at 4K for the 2-slot kernels
-            # in the round-3 same-day sweep (mxu2: 9.85 ms/pass at tb2=40 vs
-            # 10.06 at 48 vs 10.7 at 16; mxu1: 7.40 vs 7.61; p_split: 9.20
-            # at 40 vs 10.58 at 32 — tools/kbench_full.py). p_split at
-            # tb2=48 additionally exceeds the 128 MB VMEM (136.9M measured).
-            # mxu_passes=3 kernels unroll 50% more work per band: Mosaic
-            # compile time explodes at tb2=48, so 10/16-bit f32-grade stays
-            # at tb2=32 (12.4 ms/pass). Clamped by plane height so short
-            # planes (test images, short stripes) don't process
-            # padding-only band rows.
-            # Wide (8K-class) outputs need a shorter band: Mosaic's scoped
-            # VMEM demand is ~proportional to band_rows x plane_w (measured:
-            # the 8K geometry at tb2=32 computes 127.63M vs the 124M limit
-            # — and the total is INDEPENDENT of the matmul group size, so
-            # the driver is whole-band intermediates, not gt). tb2=24 puts
-            # 8K-wide at ~0.8x that demand; the 3/4-slot kernels carry two
-            # extra staging planes, so they drop to 16.
-            tb2=min(
-                (40 if s.mxu_passes < 3 else 32) if w <= 4608
-                else (24 if s.mxu_passes < 3 and not s.p_split else 16),
-                _pad_up(-(-h // 2), 8),
-            ),
+            # band height: measured schedule, see select_fused_tb2. Clamped
+            # by plane height so short planes (test images, short stripes)
+            # don't process padding-only band rows.
+            tb2=min(select_fused_tb2(s, w), _pad_up(-(-h // 2), 8)),
             frame_h=frame_h,
             frame_pad=frame_pad,
             interpret=s.backend_interpret,

@@ -38,7 +38,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from raisr_tpu.config import CT_MARGIN
 from raisr_tpu.ops.jit_utils import compiler_options
-from raisr_tpu.ops.pipeline import PassStatics, raisr_pass, processed_col_end
+from raisr_tpu.ops.pipeline import (
+    PassStatics,
+    raisr_pass,
+    processed_col_end,
+    select_fused_tb2,
+)
 from raisr_tpu.ops import hashing, census
 from raisr_tpu.ops.filter_apply import apply_filters_taps, apply_filters_conv
 from raisr_tpu.model.gaussian import gaussian_weights
@@ -282,16 +287,11 @@ def _raisr_pass_stripe(
         if s.use_pixel_type:
             # stripe row 0 has even global parity (core_rows and hr_halo are
             # even), so the kernel's local row phases equal global phases.
-            # tb2 as for a full frame (INCLUDING the wide-plane branch:
-            # Mosaic's scoped-VMEM demand ~ band_rows x plane_w, and w>4608
-            # at tb2=32 overran the 124 MB limit in round 4 — the stripe
-            # path must shorten bands exactly like pipeline.py), clamped so
-            # short stripes don't process padding-only bands.
-            tb2 = (
-                (40 if s.mxu_passes < 3 else 32) if w <= 4608
-                else (24 if s.mxu_passes < 3 and not s.p_split else 16)
-            )
-            tb2 = min(tb2, _pad_to(-(-h_ext // 2), 8))
+            # tb2 exactly as for a full frame (shared helper — the stripe
+            # path once drifted from pipeline.py and kept tb2=32 at the
+            # w>4608 scoped-VMEM OOM geometry), clamped so short stripes
+            # don't process padding-only bands.
+            tb2 = min(select_fused_tb2(s, w), _pad_to(-(-h_ext // 2), 8))
             out = raisr_pass_pallas_full(
                 cheap_ext, filters, patch_margin=s.patch_margin, tb2=tb2,
                 p_split=s.p_split, i8=s.i8, pcenter=s.pcenter, **kw
